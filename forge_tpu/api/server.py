@@ -1,0 +1,379 @@
+"""REST API: the reference's `/sdapi/v1/*` contract (modules/api/api.py:211-249)
+on a dependency-free stdlib HTTP server (the environment has no
+FastAPI/uvicorn; the contract — routes, request/response JSON shapes, base64
+image encoding — is preserved so existing webui API clients work unchanged).
+
+All generation endpoints funnel through the single work queue, mirroring the
+reference's queue_lock + main-thread discipline."""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..pipeline import images as images_mod
+from ..pipeline.processing import Processing, process_images
+from ..runtime.models import ModelManager
+from ..runtime.options import opts
+from ..runtime.queue import work_queue
+from ..runtime.state import state
+from ..sampling.samplers import SAMPLERS
+from ..sampling.schedules import SCHEDULES
+
+
+def _b64_to_image(data: str) -> np.ndarray:
+    from PIL import Image
+
+    if "," in data and data.strip().startswith("data:"):
+        data = data.split(",", 1)[1]
+    img = Image.open(io.BytesIO(base64.b64decode(data)))
+    return np.asarray(img.convert("RGB"))
+
+
+def _image_to_b64(arr: np.ndarray, infotext: Optional[str] = None) -> str:
+    from PIL import Image, PngImagePlugin
+
+    buf = io.BytesIO()
+    pnginfo = PngImagePlugin.PngInfo()
+    if infotext:
+        pnginfo.add_text("parameters", infotext)
+    Image.fromarray(np.asarray(arr, np.uint8)).save(buf, format="PNG", pnginfo=pnginfo)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+_PROCESSING_FIELDS = {f.name for f in dataclasses.fields(Processing)}
+
+_API_ALIASES = {
+    # webui API name → Processing field
+    "sampler_index": "sampler_name",
+    "denoising_strength": "denoising_strength",
+    "mask_blur": "mask_blur",
+    "inpainting_mask_invert": "inpainting_mask_invert",
+    "firstphase_width": None,
+    "firstphase_height": None,
+}
+
+
+def _processing_from_payload(payload: Dict[str, Any]) -> Processing:
+    kwargs = {}
+    for key, value in payload.items():
+        field = _API_ALIASES.get(key, key)
+        if field and field in _PROCESSING_FIELDS:
+            kwargs[field] = value
+    # webui inpainting_fill is an int enum: 0 fill, 1 original, 2 latent noise, 3 latent nothing
+    if isinstance(kwargs.get("inpainting_fill"), int):
+        kwargs["inpainting_fill"] = ["fill", "original", "latent_noise", "latent_nothing"][
+            payload["inpainting_fill"]
+        ]
+    return Processing(**kwargs)
+
+
+class Api:
+    def __init__(self, models: ModelManager):
+        self.models = models
+        self.routes = {
+            ("POST", "/sdapi/v1/txt2img"): self.txt2img,
+            ("POST", "/sdapi/v1/img2img"): self.img2img,
+            ("GET", "/sdapi/v1/progress"): self.progress,
+            ("POST", "/sdapi/v1/interrupt"): self.interrupt,
+            ("POST", "/sdapi/v1/skip"): self.skip,
+            ("GET", "/sdapi/v1/options"): self.get_options,
+            ("POST", "/sdapi/v1/options"): self.set_options,
+            ("GET", "/sdapi/v1/samplers"): self.get_samplers,
+            ("GET", "/sdapi/v1/schedulers"): self.get_schedulers,
+            ("GET", "/sdapi/v1/sd-models"): self.get_sd_models,
+            ("GET", "/sdapi/v1/sd-modules"): self.get_sd_modules,
+            ("GET", "/sdapi/v1/cmd-flags"): lambda q, b: {},
+            ("GET", "/sdapi/v1/upscalers"): self.get_upscalers,
+            ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [{"name": "Latent"}],
+            ("GET", "/sdapi/v1/embeddings"): self.get_embeddings,
+            ("GET", "/sdapi/v1/loras"): self.get_loras,
+            ("POST", "/sdapi/v1/png-info"): self.png_info,
+            ("GET", "/sdapi/v1/memory"): self.memory,
+            ("POST", "/sdapi/v1/refresh-checkpoints"): self.refresh_checkpoints,
+            ("POST", "/sdapi/v1/refresh-loras"): lambda q, b: {},
+            ("POST", "/sdapi/v1/unload-checkpoint"): self.unload_checkpoint,
+            ("POST", "/sdapi/v1/reload-checkpoint"): self.reload_checkpoint,
+            ("GET", "/sdapi/v1/scripts"): lambda q, b: {"txt2img": [], "img2img": []},
+            ("GET", "/sdapi/v1/script-info"): lambda q, b: [],
+            ("GET", "/internal/ping"): lambda q, b: {},
+            ("GET", "/internal/sysinfo"): self.sysinfo,
+        }
+        self.loras: List[Dict[str, Any]] = []
+
+    # -- generation ---------------------------------------------------------
+
+    def _engine(self):
+        eng = self.models.engine
+        if eng is None:
+            ckpt = opts.get("sd_model_checkpoint")
+            if ckpt:
+                return self.models.load(ckpt)
+            raise RuntimeError("no checkpoint loaded")
+        return eng
+
+    def txt2img(self, query, body):
+        p = _processing_from_payload(body)
+        overrides = body.get("override_settings") or {}
+
+        def run():
+            with opts.override(overrides):
+                state.begin("txt2img", job_count=p.n_iter, steps=p.steps)
+                try:
+                    return process_images(self._engine(), p)
+                finally:
+                    state.end()
+
+        result = work_queue.run_and_wait(run)
+        infos = result.infotexts
+        return {
+            "images": [
+                _image_to_b64(img, infos[i] if i < len(infos) else None)
+                for i, img in enumerate(result.images)
+            ],
+            "parameters": body,
+            "info": json.dumps({
+                "seed": result.seeds[0] if result.seeds else -1,
+                "all_seeds": result.seeds,
+                "all_subseeds": result.subseeds,
+                "infotexts": result.infotexts,
+            }),
+        }
+
+    def img2img(self, query, body):
+        init_images = [_b64_to_image(x) for x in body.get("init_images", [])]
+        mask = body.get("mask")
+        body = dict(body)
+        body.pop("init_images", None)
+        body.pop("mask", None)
+        p = _processing_from_payload(body)
+        p.init_images = init_images
+        if init_images:
+            p.height, p.width = init_images[0].shape[:2]
+        if mask:
+            m = _b64_to_image(mask)
+            p.inpaint_mask = m.mean(axis=-1)
+        overrides = body.get("override_settings") or {}
+
+        def run():
+            with opts.override(overrides):
+                state.begin("img2img", job_count=p.n_iter, steps=p.steps)
+                try:
+                    return process_images(self._engine(), p)
+                finally:
+                    state.end()
+
+        result = work_queue.run_and_wait(run)
+        return {
+            "images": [_image_to_b64(img, result.infotexts[i] if i < len(result.infotexts) else None)
+                       for i, img in enumerate(result.images)],
+            "parameters": body,
+            "info": json.dumps({"all_seeds": result.seeds, "infotexts": result.infotexts}),
+        }
+
+    # -- status -------------------------------------------------------------
+
+    def progress(self, query, body):
+        skip_image = (query.get("skip_current_image", ["false"])[0]).lower() == "true"
+        snap = state.snapshot()
+        return {
+            "progress": state.progress(),
+            "eta_relative": state.eta() or 0.0,
+            "state": snap,
+            "current_image": None if skip_image else state.current_image_base64(),
+            "textinfo": state.textinfo,
+        }
+
+    def interrupt(self, query, body):
+        state.interrupt()
+        return {}
+
+    def skip(self, query, body):
+        state.skip()
+        return {}
+
+    # -- config -------------------------------------------------------------
+
+    def get_options(self, query, body):
+        return {k: v["value"] for k, v in opts.dump_registry().items()}
+
+    def set_options(self, query, body):
+        for k, v in (body or {}).items():
+            opts.set(k, v)
+        ckpt = (body or {}).get("sd_model_checkpoint")
+        if ckpt:
+            work_queue.run_and_wait(self.models.load, ckpt)
+        return {}
+
+    def get_samplers(self, query, body):
+        return [
+            {"name": name, "aliases": list(info.aliases), "options": {}}
+            for name, info in SAMPLERS.items()
+        ]
+
+    def get_schedulers(self, query, body):
+        return [
+            {"name": name, "label": name.replace("_", " ").title()}
+            for name in SCHEDULES
+        ]
+
+    def get_sd_models(self, query, body):
+        return [
+            {"title": c.title, "model_name": c.name, "filename": c.path,
+             "hash": None, "sha256": None}
+            for c in self.models.checkpoints.values()
+        ]
+
+    def get_sd_modules(self, query, body):
+        import os
+
+        return [{"name": os.path.basename(v), "filename": v} for v in self.models.list_vaes()]
+
+    def get_upscalers(self, query, body):
+        return [
+            {"name": n, "model_name": None, "model_path": None, "model_url": None, "scale": 4}
+            for n in ("None", "Lanczos", "Nearest", "Latent")
+        ]
+
+    def get_embeddings(self, query, body):
+        eng = self.models.engine
+        loaded = {}
+        if eng is not None:
+            loaded = {
+                name: {"step": None, "sd_checkpoint": None, "shape": int(e.vectors.shape[1]),
+                       "vectors": int(e.vectors.shape[0])}
+                for name, e in eng.embedding_db.embeddings.items()
+            }
+        return {"loaded": loaded, "skipped": {}}
+
+    def get_loras(self, query, body):
+        return self.loras
+
+    def png_info(self, query, body):
+        img_b64 = (body or {}).get("image", "")
+        try:
+            from PIL import Image
+
+            raw = base64.b64decode(img_b64.split(",", 1)[-1])
+            img = Image.open(io.BytesIO(raw))
+            info = img.info.get("parameters", "")
+            return {"info": info, "items": dict(img.info),
+                    "parameters": images_mod.parse_generation_parameters(info)}
+        except Exception:
+            return {"info": "", "items": {}}
+
+    def memory(self, query, body):
+        import psutil
+
+        vm = psutil.virtual_memory()
+        out = {"ram": {"free": vm.available, "used": vm.used, "total": vm.total}}
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            out["tpu"] = {
+                "free": stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0),
+                "used": stats.get("bytes_in_use", 0),
+                "total": stats.get("bytes_limit", 0),
+            }
+        except Exception:
+            pass
+        return out
+
+    def refresh_checkpoints(self, query, body):
+        self.models.refresh()
+        return {}
+
+    def unload_checkpoint(self, query, body):
+        self.models.unload()
+        return {}
+
+    def reload_checkpoint(self, query, body):
+        ckpt = opts.get("sd_model_checkpoint")
+        if ckpt:
+            work_queue.run_and_wait(self.models.load, ckpt)
+        return {}
+
+    def sysinfo(self, query, body):
+        import platform
+
+        import jax
+
+        return {
+            "platform": platform.platform(),
+            "python": platform.python_version(),
+            "jax": jax.__version__,
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    api: "Api" = None  # set by serve()
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _reply(self, code: int, payload: Any):
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _dispatch(self, method: str):
+        parsed = urlparse(self.path)
+        handler = self.api.routes.get((method, parsed.path))
+        if handler is None:
+            self._reply(404, {"detail": "Not Found"})
+            return
+        body = {}
+        if method == "POST":
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length))
+                except json.JSONDecodeError:
+                    self._reply(422, {"detail": "invalid JSON"})
+                    return
+        try:
+            result = handler(parse_qs(parsed.query), body)
+            self._reply(200, result)
+        except FileNotFoundError as e:
+            self._reply(404, {"detail": str(e)})
+        except InterruptedError:
+            self._reply(200, {"detail": "interrupted"})
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc()
+            self._reply(500, {"detail": str(e)})
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+
+def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
+    api = Api(models)
+    handler = type("BoundHandler", (_Handler,), {"api": api})
+    server = ThreadingHTTPServer((host, port), handler)
+    server.api = api
+    return server
+
+
+def serve(models: ModelManager, host: str = "127.0.0.1", port: int = 7860):
+    server = create_server(models, host, port)
+    print(f"forge-tpu API listening on http://{host}:{port}")
+    server.serve_forever()

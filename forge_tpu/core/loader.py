@@ -1,0 +1,128 @@
+"""Checkpoint → device parameter trees.
+
+The TPU re-expression of the reference's forge_loader (backend/loader.py:497):
+load file → guess architecture → split components → per-component key
+normalization (open_clip → HF text_model space, like transformers_convert,
+backend/state_dict.py:43-83) → conv-kernel transposition for NHWC → dtype
+policy cast → nested pytree on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import guess as guess_mod
+from .state_dict import load_state_dict, transform_for_jax
+from .tree import nest
+
+
+def convert_open_clip(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """open_clip text-tower keys → HF CLIPTextModel `text_model.*` keys."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "positional_embedding":
+            out["text_model.embeddings.position_embedding.weight"] = v
+        elif k == "token_embedding.weight":
+            out["text_model.embeddings.token_embedding.weight"] = v
+        elif k.startswith("ln_final."):
+            out["text_model.final_layer_norm." + k[len("ln_final."):]] = v
+        elif k == "text_projection":
+            out["text_projection.weight"] = np.ascontiguousarray(v.T)
+        elif k.startswith("transformer.resblocks."):
+            rest = k[len("transformer.resblocks."):]
+            idx, sub = rest.split(".", 1)
+            base = f"text_model.encoder.layers.{idx}."
+            if sub.startswith("ln_1."):
+                out[base + "layer_norm1." + sub[5:]] = v
+            elif sub.startswith("ln_2."):
+                out[base + "layer_norm2." + sub[5:]] = v
+            elif sub.startswith("mlp.c_fc."):
+                out[base + "mlp.fc1." + sub[9:]] = v
+            elif sub.startswith("mlp.c_proj."):
+                out[base + "mlp.fc2." + sub[11:]] = v
+            elif sub.startswith("attn.out_proj."):
+                out[base + "self_attn.out_proj." + sub[14:]] = v
+            elif sub.startswith("attn.in_proj_"):
+                kind = sub[len("attn.in_proj_"):]  # 'weight' or 'bias'
+                q, kk, vv = np.split(v, 3, axis=0)
+                out[base + f"self_attn.q_proj.{kind}"] = q
+                out[base + f"self_attn.k_proj.{kind}"] = kk
+                out[base + f"self_attn.v_proj.{kind}"] = vv
+        # attn_mask / logit_scale intentionally dropped
+    return out
+
+
+def _to_device_tree(sd: Mapping[str, np.ndarray], dtype) -> Dict[str, Any]:
+    sd = transform_for_jax(sd)
+
+    def put(v: np.ndarray):
+        if v.dtype in (np.float64, np.float32, np.float16):
+            return jnp.asarray(v, dtype=dtype)
+        return jnp.asarray(v)
+
+    return nest({k: put(v) for k, v in sd.items()})
+
+
+class LoadedCheckpoint:
+    """Split + normalized + device-resident components of one checkpoint."""
+
+    def __init__(self, family, prediction, context_dim, unet, vae, text_encoders):
+        self.family = family
+        self.prediction = prediction
+        self.context_dim = context_dim
+        self.unet = unet
+        self.vae = vae
+        self.text_encoders = text_encoders  # name -> nested params
+
+
+def load_checkpoint_parts(
+    path_or_sd,
+    dtype=None,
+    vae_dtype=None,
+    text_dtype=None,
+    additional_modules: Optional[Dict[str, str]] = None,
+) -> LoadedCheckpoint:
+    """Main entry: checkpoint path (or raw flat state dict) → components.
+
+    `additional_modules` maps component name → file path for user-supplied
+    VAE / text-encoder overrides (the reference's replace_state_dict merge,
+    backend/loader.py:181-439).
+    """
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    vae_dtype = vae_dtype or dtype
+    text_dtype = text_dtype or dtype
+
+    sd = load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else dict(path_or_sd)
+
+    if additional_modules:
+        for name, path in additional_modules.items():
+            extra = load_state_dict(path)
+            if name == "vae":
+                if any(k.startswith("first_stage_model.") for k in extra):
+                    extra = {k[len("first_stage_model."):]: v for k, v in extra.items()}
+                sd = {k: v for k, v in sd.items() if not k.startswith("first_stage_model.")}
+                sd.update({f"first_stage_model.{k}": v for k, v in extra.items()})
+            else:  # text encoder files merge under their own namespace
+                sd.update(extra)
+
+    g = guess_mod.guess(sd)
+
+    text_encoders: Dict[str, Any] = {}
+    for name, tsd in g.text_encoders.items():
+        if name.startswith("open_clip"):
+            tsd = convert_open_clip(tsd)
+            name = {"open_clip_h": "clip_h", "open_clip_g": "clip_g"}[name]
+        elif not any(k.startswith("text_model.") for k in tsd):
+            tsd = {f"text_model.{k}" if not k.startswith("text_projection") else k: v
+                   for k, v in tsd.items()}
+        text_encoders[name] = _to_device_tree(tsd, text_dtype)
+
+    unet = _to_device_tree(g.unet, dtype) if g.unet else None
+    vae = _to_device_tree(g.vae, vae_dtype) if g.vae else None
+
+    return LoadedCheckpoint(g.family, g.prediction, g.context_dim, unet, vae, text_encoders)

@@ -1,0 +1,135 @@
+"""Pallas TPU flash attention (non-causal, diffusion workloads).
+
+This single kernel replaces the reference's entire attention library —
+xformers / torch SDP / split-batch / sub-quadratic chunked attention
+(reference backend/attention.py:430-441 selects among four) — because
+blockwise online-softmax attention with f32 accumulation is simultaneously
+the fast path and the low-memory path on TPU.
+
+Layout: q [B, H, Lq, D], k/v [B, H, Lk, D]. The kernel runs on a
+(B*H, Lq/BQ, Lk/BK) grid; the last grid axis iterates sequentially on TPU so
+running max/denominator/accumulator live in VMEM scratch across K blocks.
+Head dims that are not lane-aligned (SD1.5 uses 40/80/160) are zero-padded to
+a multiple of 128; K/V sequence tails are masked with -inf logits.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    # bf16 inputs: DEFAULT precision is already exact (one MXU pass into f32
+    # accumulator) and Mosaic rejects HIGHEST for bf16. f32 inputs (CPU
+    # tests): HIGHEST avoids the truncate-to-bf16 passes.
+    prec = jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale  # [BQ, BK]
+
+    # Mask out-of-range K columns (sequence tail padding).
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, 0:1]  # [BQ, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+    p = jnp.exp(s - m_new)  # [BQ, BK]
+
+    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [BQ, D]
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """q [B,H,Lq,D], k/v [B,H,Lk,D] → [B,H,Lq,D]. Non-causal, no bias."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    d_pad = _round_up(d, 128)
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    qf = jnp.pad(q.reshape(b * h, lq, d), ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
+    kf = jnp.pad(k.reshape(b * h, lk, d), ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+    vf = jnp.pad(v.reshape(b * h, lk, d), ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=lk, block_k=block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, i, j: (bh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, i, j: (bh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, i, j: (bh, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, i, j: (bh, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d_pad,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :lq, :d].reshape(b, h, lq, d)

@@ -1,0 +1,97 @@
+"""End-to-end pipeline tests on the tiny synthetic SD1.5 engine:
+txt2img determinism, seed sensitivity, img2img, inpaint compositing,
+infotext round-trip basics."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_engine
+
+from forge_tpu.pipeline.processing import Processing, create_infotext, process_images
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return make_tiny_engine()
+
+
+def _p(**kw):
+    base = dict(
+        prompt="a photograph of an astronaut riding a horse",
+        negative_prompt="blurry",
+        seed=1234,
+        steps=3,
+        width=32,
+        height=32,
+        cfg_scale=7.0,
+        sampler_name="Euler a",
+    )
+    base.update(kw)
+    return Processing(**base)
+
+
+def test_txt2img_deterministic(engine):
+    r1 = process_images(engine, _p())
+    r2 = process_images(engine, _p())
+    assert len(r1.images) == 1
+    img = r1.images[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert np.array_equal(img, r2.images[0])
+
+
+def test_txt2img_seed_sensitivity(engine):
+    a = process_images(engine, _p(seed=1)).images[0]
+    b = process_images(engine, _p(seed=2)).images[0]
+    assert not np.array_equal(a, b)
+
+
+def test_txt2img_cfg1_skips_uncond(engine):
+    r = process_images(engine, _p(cfg_scale=1.0))
+    assert r.images[0].shape == (32, 32, 3)
+
+
+@pytest.mark.parametrize("sampler", ["Euler", "DPM++ 2M", "DPM++ 2M SDE", "DDIM", "LCM", "Heun"])
+def test_samplers_run(engine, sampler):
+    r = process_images(engine, _p(sampler_name=sampler, steps=3))
+    assert np.isfinite(r.images[0].astype(np.float32)).all()
+
+
+def test_batch_seeds(engine):
+    r = process_images(engine, _p(batch_size=2))
+    assert len(r.images) == 2
+    single = process_images(engine, _p(seed=1234))
+    # image 0 of the batch equals the single-image run with the same seed
+    assert np.array_equal(r.images[0], single.images[0])
+
+
+def test_img2img(engine):
+    init = (np.ones((32, 32, 3)) * 127).astype(np.uint8)
+    r = process_images(engine, _p(init_images=[init], denoising_strength=0.6))
+    assert r.images[0].shape == (32, 32, 3)
+
+
+def test_inpaint_composites_outside_mask(engine):
+    init = (np.ones((32, 32, 3)) * 200).astype(np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    r = process_images(
+        engine,
+        _p(init_images=[init], inpaint_mask=mask, denoising_strength=0.9, mask_blur=0),
+    )
+    img = r.images[0]
+    # untouched corners must equal the original pixels
+    assert np.array_equal(img[:4, :4], init[:4, :4])
+
+
+def test_hires_fix(engine):
+    r = process_images(engine, _p(enable_hr=True, hr_scale=2.0, steps=2))
+    assert r.images[0].shape == (64, 64, 3)
+
+
+def test_infotext_contains_params(engine):
+    p = _p(steps=7, cfg_scale=3.5)
+    text = create_infotext(p, 42, 0)
+    assert "Steps: 7" in text
+    assert "CFG scale: 3.5" in text
+    assert "Seed: 42" in text
+    assert p.prompt in text
