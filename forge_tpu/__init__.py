@@ -19,3 +19,19 @@ Layering (bottom → top), mirroring SURVEY.md §1's layer map but TPU-native:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: SD-sized programs take minutes to compile
+# (especially over remote-compile tunnels); cache them across processes.
+# Override location with FORGE_TPU_COMPILE_CACHE; disable with value "0".
+_cache_dir = _os.environ.get("FORGE_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/forge_tpu_xla"))
+if _cache_dir != "0":
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass

@@ -147,10 +147,17 @@ def _delta(patch: Patch, strength: float, weight_shape, hwio: bool) -> jnp.ndarr
         scale = (patch.alpha / rank) if patch.alpha is not None else 1.0
         up2 = up.reshape(up.shape[0], -1)
         down2 = down.reshape(down.shape[0], -1)
-        delta = (up2 @ down2) * scale  # [out, in*k*k]
+        # HIGHEST: weight merges must be f32-exact (default MXU precision
+        # truncates to bf16 passes)
+        delta = jnp.matmul(up2, down2, precision=jax.lax.Precision.HIGHEST) * scale
     elif patch.kind == "loha":
-        w1 = jnp.asarray(t["hada_w1_a"], jnp.float32) @ jnp.asarray(t["hada_w1_b"], jnp.float32).reshape(t["hada_w1_b"].shape[0], -1)
-        w2 = jnp.asarray(t["hada_w2_a"], jnp.float32) @ jnp.asarray(t["hada_w2_b"], jnp.float32).reshape(t["hada_w2_b"].shape[0], -1)
+        hp = jax.lax.Precision.HIGHEST
+        w1 = jnp.matmul(jnp.asarray(t["hada_w1_a"], jnp.float32),
+                        jnp.asarray(t["hada_w1_b"], jnp.float32).reshape(t["hada_w1_b"].shape[0], -1),
+                        precision=hp)
+        w2 = jnp.matmul(jnp.asarray(t["hada_w2_a"], jnp.float32),
+                        jnp.asarray(t["hada_w2_b"], jnp.float32).reshape(t["hada_w2_b"].shape[0], -1),
+                        precision=hp)
         rank = t["hada_w1_b"].shape[0]
         scale = (patch.alpha / rank) if patch.alpha is not None else 1.0
         delta = (w1 * w2) * scale
@@ -158,11 +165,15 @@ def _delta(patch: Patch, strength: float, weight_shape, hwio: bool) -> jnp.ndarr
         if "lokr_w1" in t:
             w1 = jnp.asarray(t["lokr_w1"], jnp.float32)
         else:
-            w1 = jnp.asarray(t["lokr_w1_a"], jnp.float32) @ jnp.asarray(t["lokr_w1_b"], jnp.float32)
+            w1 = jnp.matmul(jnp.asarray(t["lokr_w1_a"], jnp.float32),
+                            jnp.asarray(t["lokr_w1_b"], jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST)
         if "lokr_w2" in t:
             w2 = jnp.asarray(t["lokr_w2"], jnp.float32)
         else:
-            w2 = jnp.asarray(t["lokr_w2_a"], jnp.float32) @ jnp.asarray(t["lokr_w2_b"], jnp.float32)
+            w2 = jnp.matmul(jnp.asarray(t["lokr_w2_a"], jnp.float32),
+                            jnp.asarray(t["lokr_w2_b"], jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST)
             rank = t["lokr_w2_b"].shape[0]
         scale = 1.0
         if patch.alpha is not None and "lokr_w2_b" in t:

@@ -307,3 +307,152 @@ def synth_sdxl_checkpoint(fill: str = "zeros", seed: int = 0) -> Dict[str, np.nd
         sd[base + "mlp.c_proj.weight"] = f.w(width, width * 4)
         sd[base + "mlp.c_proj.bias"] = f.zeros(width)
     return sd
+
+
+def synth_flux_sd(
+    hidden: int = 3072,
+    num_heads: int = 24,
+    depth: int = 19,
+    depth_single: int = 38,
+    context_dim: int = 4096,
+    pooled_dim: int = 768,
+    in_channels: int = 64,
+    guidance: bool = True,
+    mlp_ratio: float = 4.0,
+    fill: str = "zeros",
+    seed: int = 5,
+    prefix: str = "model.diffusion_model.",
+):
+    """Flux-format state dict (flux-dev defaults; pass smaller dims for tests)."""
+    f = _Fill(fill, seed)
+    sd = {}
+    mlp = int(hidden * mlp_ratio)
+    head_dim = hidden // num_heads
+
+    def lin(key, o, i):
+        sd[key + ".weight"] = f.w(o, i)
+        sd[key + ".bias"] = f.zeros(o)
+
+    lin(prefix + "img_in", hidden, in_channels)
+    lin(prefix + "txt_in", hidden, context_dim)
+    lin(prefix + "time_in.in_layer", hidden, 256)
+    lin(prefix + "time_in.out_layer", hidden, hidden)
+    lin(prefix + "vector_in.in_layer", hidden, pooled_dim)
+    lin(prefix + "vector_in.out_layer", hidden, hidden)
+    if guidance:
+        lin(prefix + "guidance_in.in_layer", hidden, 256)
+        lin(prefix + "guidance_in.out_layer", hidden, hidden)
+
+    for i in range(depth):
+        b = f"{prefix}double_blocks.{i}."
+        for s in ("img", "txt"):
+            lin(b + f"{s}_mod.lin", hidden * 6, hidden)
+            lin(b + f"{s}_attn.qkv", hidden * 3, hidden)
+            sd[b + f"{s}_attn.norm.query_norm.scale"] = f.ones(head_dim)
+            sd[b + f"{s}_attn.norm.key_norm.scale"] = f.ones(head_dim)
+            lin(b + f"{s}_attn.proj", hidden, hidden)
+            lin(b + f"{s}_mlp.0", mlp, hidden)
+            lin(b + f"{s}_mlp.2", hidden, mlp)
+
+    for i in range(depth_single):
+        b = f"{prefix}single_blocks.{i}."
+        lin(b + "linear1", hidden * 3 + mlp, hidden)
+        lin(b + "linear2", hidden, hidden + mlp)
+        sd[b + "norm.query_norm.scale"] = f.ones(head_dim)
+        sd[b + "norm.key_norm.scale"] = f.ones(head_dim)
+        lin(b + "modulation.lin", hidden * 3, hidden)
+
+    lin(prefix + "final_layer.linear", in_channels, hidden)
+    lin(prefix + "final_layer.adaLN_modulation.1", hidden * 2, hidden)
+    return sd
+
+
+def synth_mmdit_sd(
+    hidden: int = 1536,
+    depth: int = 24,
+    context_dim: int = 4096,
+    pooled_dim: int = 2048,
+    in_channels: int = 16,
+    patch: int = 2,
+    pos_max: int = 192,
+    qk_norm: bool = False,
+    x_attn2: bool = False,
+    fill: str = "zeros",
+    seed: int = 6,
+    prefix: str = "model.diffusion_model.",
+):
+    """SD3-format state dict (sd3-medium defaults)."""
+    f = _Fill(fill, seed)
+    sd = {}
+    mlp = hidden * 4
+
+    def lin(key, o, i):
+        sd[key + ".weight"] = f.w(o, i)
+        sd[key + ".bias"] = f.zeros(o)
+
+    sd[prefix + "x_embedder.proj.weight"] = f.w(hidden, in_channels, patch, patch)
+    sd[prefix + "x_embedder.proj.bias"] = f.zeros(hidden)
+    sd[prefix + "pos_embed"] = f.w(1, pos_max * pos_max, hidden)
+    lin(prefix + "t_embedder.mlp.0", hidden, 256)
+    lin(prefix + "t_embedder.mlp.2", hidden, hidden)
+    lin(prefix + "y_embedder.mlp.0", hidden, pooled_dim)
+    lin(prefix + "y_embedder.mlp.2", hidden, hidden)
+    lin(prefix + "context_embedder", hidden, context_dim)
+
+    for i in range(depth):
+        pre_only = i == depth - 1
+        for blk in ("context_block", "x_block"):
+            b = f"{prefix}joint_blocks.{i}.{blk}."
+            lin(b + "attn.qkv", hidden * 3, hidden)
+            if qk_norm:
+                sd[b + "attn.ln_q.weight"] = f.ones(hidden // (hidden // 64))
+                sd[b + "attn.ln_k.weight"] = f.ones(hidden // (hidden // 64))
+            if blk == "context_block" and pre_only:
+                lin(b + "adaLN_modulation.1", hidden * 2, hidden)
+                continue
+            lin(b + "attn.proj", hidden, hidden)
+            n_mod = 9 if (x_attn2 and blk == "x_block") else 6
+            lin(b + "adaLN_modulation.1", hidden * n_mod, hidden)
+            lin(b + "mlp.fc1", mlp, hidden)
+            lin(b + "mlp.fc2", hidden, mlp)
+            if x_attn2 and blk == "x_block":
+                lin(b + "attn2.qkv", hidden * 3, hidden)
+                lin(b + "attn2.proj", hidden, hidden)
+
+    lin(prefix + "final_layer.linear", patch * patch * in_channels, hidden)
+    lin(prefix + "final_layer.adaLN_modulation.1", hidden * 2, hidden)
+    return sd
+
+
+def synth_t5_sd(
+    width: int = 4096,
+    layers: int = 24,
+    heads: int = 64,
+    ff: int = 10240,
+    vocab: int = 32128,
+    fill: str = "zeros",
+    seed: int = 7,
+    prefix: str = "text_encoders.t5xxl.transformer.",
+):
+    f = _Fill(fill, seed)
+    sd = {}
+    kv = 64 * heads
+
+    def w(key, o, i):
+        sd[key + ".weight"] = f.w(o, i)
+
+    sd[prefix + "shared.weight"] = f.w(vocab, width)
+    for i in range(layers):
+        b = f"{prefix}encoder.block.{i}.layer."
+        for n in ("q", "k", "v"):
+            w(b + f"0.SelfAttention.{n}", kv, width)
+        w(b + "0.SelfAttention.o", width, kv)
+        if i == 0:
+            sd[b + "0.SelfAttention.relative_attention_bias.weight"] = f.w(32, heads)
+        sd[b + "0.layer_norm.weight"] = f.ones(width)
+        w(b + "1.DenseReluDense.wi_0", ff, width)
+        w(b + "1.DenseReluDense.wi_1", ff, width)
+        w(b + "1.DenseReluDense.wo", width, ff)
+        sd[b + "1.layer_norm.weight"] = f.ones(width)
+    sd[prefix + "encoder.final_layer_norm.weight"] = f.ones(width)
+    return sd

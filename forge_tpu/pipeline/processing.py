@@ -81,6 +81,12 @@ class Processed:
     timings: Dict[str, float]
 
 
+def parse_prompt_networks_stripped(prompt: str) -> str:
+    from .extra_networks import parse_prompt
+
+    return parse_prompt(prompt)[0]
+
+
 def _resolve_seeds(p: Processing) -> None:
     def fix(s):
         return random.randrange(4294967294) if s is None or int(s) == -1 else int(s)
@@ -108,8 +114,10 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
     import hashlib
 
     sig_hash = hashlib.md5(np.asarray(sigmas, np.float32).tobytes()).hexdigest()[:12]
+    # params enter the jitted fn as traced arguments, so LoRA-patched trees
+    # (same structure) reuse the same executable — key on family, not identity
     return (
-        "sample", kind, id(engine.loaded.unet), p.sampler_name, sig_hash, shape,
+        "sample", kind, engine.family, p.sampler_name, sig_hash, shape,
         skip_uncond, bool(p.s_churn), p.eta, p.cfg_rescale,
     )
 
@@ -159,8 +167,12 @@ def _prepare_noise(p: Processing, rng: ImageRNG, info, n_steps: int):
     return jnp.asarray(np.stack(draws))
 
 
+_PHASE = {}
+
+
 def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     t0 = time.time()
+    _PHASE.clear()
     _resolve_seeds(p)
     engine.set_clip_skip(p.clip_skip)
 
@@ -172,8 +184,18 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     for it in range(p.n_iter):
         seeds = p.all_seeds[it * p.batch_size : (it + 1) * p.batch_size]
         subseeds = p.all_subseeds[it * p.batch_size : (it + 1) * p.batch_size]
-        prompts = [p.prompt] * p.batch_size
-        negs = [p.negative_prompt] * p.batch_size
+        from .extra_networks import activate as activate_networks
+
+        prompts, unet_params, patched_tes = activate_networks(
+            engine, [p.prompt] * p.batch_size,
+            registry=getattr(engine, "lora_registry", None),
+        )
+        negs = [parse_prompt_networks_stripped(p.negative_prompt)] * p.batch_size
+
+        orig_te = {}
+        for te_name, pt in patched_tes.items():
+            orig_te[te_name] = engine.text_engines[te_name].params
+            engine.text_engines[te_name].params = pt
 
         # -- conditioning (chunk-equalized cond/uncond) ---------------------
         tc = time.time()
@@ -188,11 +210,14 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             negs, p.width, p.height, is_negative=True, max_chunks=max_chunks
         )
         timings["cond"] = time.time() - tc
+        for te_name, orig in orig_te.items():
+            engine.text_engines[te_name].params = orig
 
         if is_img2img:
-            batch_images = _sample_img2img(engine, p, seeds, subseeds, cond, uncond)
+            batch_images = _sample_img2img(engine, p, seeds, subseeds, cond, uncond, unet_params)
         else:
-            batch_images = _sample_txt2img(engine, p, seeds, subseeds, cond, uncond)
+            batch_images = _sample_txt2img(engine, p, seeds, subseeds, cond, uncond, unet_params)
+        timings.update(_PHASE)
 
         ts = time.time()
         for b in range(p.batch_size):
@@ -215,14 +240,17 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
 
 def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array) -> np.ndarray:
+    t0 = time.time()
     imgs = engine.decode_first_stage(latent)
     imgs = np.asarray(imgs.astype(jnp.float32))
     imgs = np.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
-    return (imgs * 255.0 + 0.5).astype(np.uint8)
+    out = (imgs * 255.0 + 0.5).astype(np.uint8)
+    _PHASE["decode"] = time.time() - t0
+    return out
 
 
 def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
-                 mask=None, init_latent=None, kind="txt2img"):
+                 mask=None, init_latent=None, kind="txt2img", unet_params=None):
     shape = tuple(x.shape)
     key = _sample_jit_key(p, engine, shape, skip_uncond, sigmas, kind) + (mask is not None,)
     if key not in engine._jit_cache:
@@ -234,12 +262,13 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
     mask_in = zero if mask is None else mask
     init_in = zero if init_latent is None else init_latent
     return fn(
-        engine.loaded.unet, x, noise,
+        engine.loaded.unet if unet_params is None else unet_params, x, noise,
         cond, uncond, jnp.asarray(p.cfg_scale, jnp.float32), mask_in, init_in,
     )
 
 
-def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, cond, uncond):
+def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, cond, uncond, unet_params=None):
+    t_noise = time.time()
     info = get_sampler(p.sampler_name)
     lc = engine.latent_format.latent_channels
     h8, w8 = p.height // 8, p.width // 8
@@ -265,14 +294,16 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
             np.float32(sigmas[0]), noise0.astype(np.float32), np.zeros_like(noise0), max_denoise=False
         )
     )
+    _PHASE["noise"] = time.time() - t_noise
 
     t1 = time.time()
     latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
-                          skip_uncond=(p.cfg_scale == 1.0))
+                          skip_uncond=(p.cfg_scale == 1.0), unet_params=unet_params)
     latent.block_until_ready()
+    _PHASE["sample"] = time.time() - t1
 
     if p.enable_hr:
-        latent = _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond)
+        latent = _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params)
 
     return _decode_to_uint8(engine, latent)
 
@@ -283,7 +314,7 @@ def _latent_upscale(latent: jax.Array, scale: float) -> jax.Array:
     return jax.image.resize(latent, (b, nh, nw, c), method="bilinear")
 
 
-def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond):
+def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=None):
     """Hires-fix second pass (reference processing.py:1430 sample_hr_pass),
     latent-space upscale variant."""
     info = get_sampler(p.sampler_name)
@@ -308,7 +339,8 @@ def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond):
         np.asarray(latent, np.float32), max_denoise=False,
     ))
     return _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
-                        skip_uncond=(p.cfg_scale == 1.0), kind="hires")
+                        skip_uncond=(p.cfg_scale == 1.0), kind="hires",
+                        unet_params=unet_params)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +355,7 @@ def _gaussian_blur(img: np.ndarray, radius: float) -> np.ndarray:
     return gaussian_filter(img, sigma=radius)
 
 
-def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, cond, uncond):
+def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, cond, uncond, unet_params=None):
     info = get_sampler(p.sampler_name)
     lc = engine.latent_format.latent_channels
     h8, w8 = p.height // 8, p.width // 8
@@ -384,7 +416,8 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
 
     latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
                           skip_uncond=(p.cfg_scale == 1.0),
-                          mask=mask_latent, init_latent=init_latent, kind="img2img")
+                          mask=mask_latent, init_latent=init_latent, kind="img2img",
+                          unet_params=unet_params)
     return _decode_to_uint8(engine, latent)
 
 

@@ -65,24 +65,30 @@ class DiscretePrediction(AbstractPrediction):
     def timestep(self, sigma):
         """σ → fractional t index by piecewise-linear interp in log-σ space
         (the k-diffusion sigma_to_t convention the reference samplers use).
-        Accepts python/numpy scalars and traced jnp values."""
-        table = jnp.asarray(self.log_sigmas)
-        log_sigma = jnp.log(jnp.asarray(sigma))
+        Host inputs (python/numpy) compute in numpy — schedule generation must
+        not emit per-step device ops; traced inputs compute in jnp."""
+        xp, table = self._xp(sigma)
+        log_sigma = xp.log(xp.asarray(sigma))
         dists = log_sigma[..., None] - table
-        low_idx = jnp.clip((dists >= 0).sum(axis=-1) - 1, 0, table.shape[0] - 2)
+        low_idx = xp.clip((dists >= 0).sum(axis=-1) - 1, 0, table.shape[0] - 2)
         high_idx = low_idx + 1
         low = table[low_idx]
         high = table[high_idx]
-        w = jnp.clip((low - log_sigma) / (low - high), 0, 1)
+        w = xp.clip((low - log_sigma) / (low - high), 0, 1)
         return (1 - w) * low_idx + w * high_idx
 
     def sigma(self, timestep):
-        table = jnp.asarray(self.log_sigmas)
-        t = jnp.clip(jnp.asarray(timestep, dtype=jnp.float32), 0, len(self.sigmas) - 1)
-        low_idx = jnp.floor(t).astype(jnp.int32)
-        high_idx = jnp.ceil(t).astype(jnp.int32)
+        xp, table = self._xp(timestep)
+        t = xp.clip(xp.asarray(timestep, dtype=xp.float32), 0, len(self.sigmas) - 1)
+        low_idx = xp.floor(t).astype(xp.int32)
+        high_idx = xp.ceil(t).astype(xp.int32)
         w = t - low_idx
-        return jnp.exp((1 - w) * table[low_idx] + w * table[high_idx])
+        return xp.exp((1 - w) * table[low_idx] + w * table[high_idx])
+
+    def _xp(self, value):
+        if isinstance(value, (int, float, np.ndarray, np.generic)):
+            return np, self.log_sigmas
+        return jnp, jnp.asarray(self.log_sigmas)
 
     def calculate_denoised(self, sigma, model_output, noisy):
         sigma = _bc(sigma, noisy)
@@ -101,10 +107,12 @@ class PredictionEDM(AbstractPrediction):
         self.sigma_data = sigma_data
 
     def timestep(self, sigma):
-        return 0.25 * jnp.log(jnp.asarray(sigma))
+        xp = np if isinstance(sigma, (int, float, np.ndarray, np.generic)) else jnp
+        return 0.25 * xp.log(xp.asarray(sigma))
 
     def sigma(self, timestep):
-        return jnp.exp(jnp.asarray(timestep) / 0.25)
+        xp = np if isinstance(timestep, (int, float, np.ndarray, np.generic)) else jnp
+        return xp.exp(xp.asarray(timestep) / 0.25)
 
     def calculate_denoised(self, sigma, model_output, noisy):
         sigma = _bc(sigma, noisy)

@@ -102,11 +102,12 @@ def align_your_steps(n, sigma_min, sigma_max, predictor=None, anchors=None):
 
 
 def align_your_steps_11(n, sigma_min, sigma_max, predictor=None):
-    return align_your_steps(11, sigma_min, sigma_max, predictor)[: 11 + 1]
+    # preset anchor list resampled to the requested step count
+    return align_your_steps(n, sigma_min, sigma_max, predictor, anchors=_AYS_SD15)
 
 
 def align_your_steps_32(n, sigma_min, sigma_max, predictor=None):
-    return align_your_steps(32, sigma_min, sigma_max, predictor)
+    return align_your_steps(n, sigma_min, sigma_max, predictor, anchors=_AYS_SD15_REAL)
 
 
 def beta_schedule(n, sigma_min, sigma_max, predictor=None, alpha: float = 0.6, beta: float = 0.6):

@@ -101,7 +101,9 @@ def apply_emphasis(z, multipliers, mode: str = "Original"):
     z = z * multipliers[..., None].astype(z.dtype)
     if mode == "Original":
         new_mean = z.mean()
-        z = z * (original_mean / new_mean)
+        # guard degenerate zero-mean embeddings (synthetic benches)
+        ratio = jnp.where(new_mean == 0, 1.0, original_mean / new_mean)
+        z = z * ratio
     elif mode == "No norm":
         pass
     return z

@@ -48,6 +48,7 @@ class ClassicTextEngine:
         self.opts = options or TextEncoderOptions()
         self.embedding_db = embedding_db
         self.cfg = cfg
+        self._encode_cache = {}
 
     def tokenize_batch(self, prompts: List[str]):
         lookup = None
@@ -93,43 +94,62 @@ class ClassicTextEngine:
                     tokens[b, ci] = empty_tokens
 
         flat_tokens = jnp.asarray(tokens.reshape(-1, CHUNK_LEN + 2))
-        z, pooled = self._encode(flat_tokens, fixes, tokens.shape)
-        z = apply_emphasis(z, jnp.asarray(mults.reshape(-1, CHUNK_LEN + 2)), self.opts.emphasis_mode)
+        flat_mults = jnp.asarray(mults.reshape(-1, CHUNK_LEN + 2))
+        z, pooled = self._encode(flat_tokens, flat_mults, fixes, tokens.shape)
         b, n = tokens.shape[0], tokens.shape[1]
         z = z.reshape(b, n * (CHUNK_LEN + 2), -1)
         pooled = pooled.reshape(b, n, -1)[:, 0]  # pooled from first chunk
         return z, pooled
 
-    def _encode(self, flat_tokens, fixes, shape):
-        emb_table = self.params["text_model"]["embeddings"]["token_embedding"]["weight"]
-        input_embeds = jnp.take(emb_table, flat_tokens, axis=0)
+    def _encode(self, flat_tokens, flat_mults, fixes, shape):
+        """Whole encode path is one jitted program per (shape, options) key;
+        params are traced args so LoRA-patched trees reuse the executable.
+        Textual-inversion splices modify input embeddings host-side first."""
+        o = self.opts
+        input_embeds = None
         if fixes:
             b, n, L = shape
-            ie = np.asarray(input_embeds, dtype=np.float32).reshape(b, n, L, -1)
+            emb_table = self.params["text_model"]["embeddings"]["token_embedding"]["weight"]
+            ie = np.asarray(
+                jnp.take(emb_table, flat_tokens, axis=0), dtype=np.float32
+            ).reshape(b, n, L, -1)
             for (bb, ci, off, vec) in fixes:
                 k = min(vec.shape[0], L - off)
                 ie[bb, ci, off : off + k] = vec[:k, : ie.shape[-1]]
             input_embeds = jnp.asarray(ie.reshape(b * n, L, -1))
 
-        final, hiddens, _ = clip_text_apply(
-            self.params, tokens=flat_tokens, input_embeds=input_embeds, cfg=self.cfg
-        )
+        key = (flat_tokens.shape, input_embeds is not None, o.emphasis_mode,
+               o.layer, o.layer_idx, o.final_layer_norm, o.clip_skip, o.pooled_projection)
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            if input_embeds is not None:
+                fn = jax.jit(lambda params, toks, mults, ie: self._encode_core(params, toks, mults, ie))
+            else:
+                fn = jax.jit(lambda params, toks, mults: self._encode_core(params, toks, mults, None))
+            self._encode_cache[key] = fn
+        if input_embeds is not None:
+            return fn(self.params, flat_tokens, flat_mults, input_embeds)
+        return fn(self.params, flat_tokens, flat_mults)
 
+    def _encode_core(self, params, flat_tokens, flat_mults, input_embeds):
         o = self.opts
+        final, hiddens, _ = clip_text_apply(
+            params, tokens=flat_tokens, input_embeds=input_embeds, cfg=self.cfg
+        )
         if o.layer == "hidden":
             z = hiddens[o.layer_idx]
             if o.final_layer_norm:
-                z = nn.layer_norm(z, self.params["text_model"]["final_layer_norm"])
+                z = nn.layer_norm(z, params["text_model"]["final_layer_norm"])
         elif o.clip_skip > 1:
-            z = nn.layer_norm(
-                hiddens[-o.clip_skip], self.params["text_model"]["final_layer_norm"]
-            )
+            z = nn.layer_norm(hiddens[-o.clip_skip], params["text_model"]["final_layer_norm"])
         else:
             z = final
+
+        z = apply_emphasis(z, flat_mults, o.emphasis_mode)
 
         # pooled always from the true final layer at EOT
         eot = jnp.argmax(flat_tokens, axis=-1)
         pooled = final[jnp.arange(final.shape[0]), eot]
         if o.pooled_projection:
-            pooled = clip_pooled_projection(self.params, pooled)
+            pooled = clip_pooled_projection(params, pooled)
         return z, pooled
