@@ -1,13 +1,15 @@
-"""Benchmark: SD1.5 512×512 txt2img, Euler a 20 steps, batch 1, on the
-available accelerator (TPU v5e in the driver run).
+"""Benchmark: the BASELINE.json headline configs on the available accelerator.
 
-Prints ONE JSON line: p50 image latency vs the BASELINE.json target of
-<1 s/image on v5e. vs_baseline > 1.0 means faster than target.
+Config 1: SD1.5 512×512 txt2img, Euler a, 20 steps, CFG 7  (target < 1 s p50)
+Config 2: SDXL 1024×1024 txt2img, DPM++ 2M Karras, 30 steps (target ≥ 1 img/s)
 
-Weights are full-size zero-filled synthetic (matmul timing is
-data-independent); the text encoder + full 20-step compiled denoise loop +
-VAE decode are all measured (end-to-end image latency, excluding one-time
-compilation, like the reference's it/s convention)."""
+Prints ONE JSON line; headline metric is SD1.5 p50 latency vs the 1 s target
+(vs_baseline > 1 means faster than target); SDXL numbers ride in `detail`.
+
+Weights are full-size zero-filled synthetic (matmul timing is data-
+independent). Measured latency is end-to-end per image — text encode, the
+whole compiled denoise loop, VAE decode, uint8 conversion — excluding one-time
+compilation, matching the reference's it/s convention."""
 
 from __future__ import annotations
 
@@ -18,53 +20,69 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _measure(engine, p, runs=3):
+    from forge_tpu.pipeline.processing import process_images
 
-    from forge_tpu.core.synth import synth_sd15_checkpoint
-    from forge_tpu.pipeline.engine import load_engine
-    from forge_tpu.pipeline.processing import Processing, process_images
-
-    steps = 20
-    sd = synth_sd15_checkpoint(fill="zeros")
-    engine = load_engine(sd)
-
-    p = Processing(
-        prompt="a photograph of an astronaut riding a horse, detailed, 4k",
-        negative_prompt="blurry, low quality",
-        seed=1234,
-        steps=steps,
-        width=512,
-        height=512,
-        cfg_scale=7.0,
-        sampler_name="Euler a",
-    )
-
-    # warmup (compile)
     t0 = time.time()
-    process_images(engine, p)
-    compile_time = time.time() - t0
-
-    latencies = []
-    for i in range(3):
+    process_images(engine, p)  # compile
+    compile_s = time.time() - t0
+    lat = []
+    for i in range(runs):
         p.seed = 1000 + i
         t0 = time.time()
         process_images(engine, p)
-        latencies.append(time.time() - t0)
+        lat.append(time.time() - t0)
+    return float(np.median(lat)), compile_s, lat
 
-    p50 = float(np.median(latencies))
+
+def main():
+    import jax
+
+    from forge_tpu.core.synth import synth_sd15_checkpoint, synth_sdxl_checkpoint
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.processing import Processing
+
+    prompt = "a photograph of an astronaut riding a horse, detailed, 4k"
+    neg = "blurry, low quality"
+
+    # -- config 1: SD1.5 512 -------------------------------------------------
+    eng15 = load_engine(synth_sd15_checkpoint(fill="zeros"))
+    p15 = Processing(prompt=prompt, negative_prompt=neg, seed=1, steps=20,
+                     width=512, height=512, cfg_scale=7.0, sampler_name="Euler a")
+    sd15_p50, sd15_compile, sd15_lat = _measure(eng15, p15)
+    del eng15
+
+    # -- config 2: SDXL 1024 ---------------------------------------------------
+    detail_xl = {}
+    try:
+        engxl = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+        pxl = Processing(prompt=prompt, negative_prompt=neg, seed=1, steps=30,
+                         width=1024, height=1024, cfg_scale=7.0,
+                         sampler_name="DPM++ 2M", scheduler="karras")
+        xl_p50, xl_compile, xl_lat = _measure(engxl, pxl)
+        detail_xl = {
+            "sdxl_1024_dpmpp2m_30step_p50_s": round(xl_p50, 4),
+            "sdxl_images_per_s": round(1.0 / xl_p50, 4),
+            "sdxl_steps_per_s": round(30 / xl_p50, 2),
+            "sdxl_compile_s": round(xl_compile, 1),
+        }
+        del engxl
+    except Exception as e:  # noqa: BLE001 — SDXL bench is best-effort
+        detail_xl = {"sdxl_error": str(e)[:200]}
+
     target = 1.0  # BASELINE.json: SD1.5 512² < 1 s p50 on v5e
     result = {
         "metric": "sd15_512_eulera_20step_p50_latency",
-        "value": round(p50, 4),
+        "value": round(sd15_p50, 4),
         "unit": "s",
-        "vs_baseline": round(target / p50, 3),
+        "vs_baseline": round(target / sd15_p50, 3),
         "detail": {
-            "steps_per_s": round(steps / p50, 2),
-            "compile_s": round(compile_time, 1),
+            "sd15_steps_per_s": round(20 / sd15_p50, 2),
+            "sd15_images_per_s": round(1.0 / sd15_p50, 4),
+            "sd15_compile_s": round(sd15_compile, 1),
+            "sd15_latencies": [round(x, 4) for x in sd15_lat],
             "backend": jax.default_backend(),
-            "latencies": [round(x, 4) for x in latencies],
+            **detail_xl,
         },
     }
     print(json.dumps(result))

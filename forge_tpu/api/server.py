@@ -105,6 +105,7 @@ class Api:
             ("GET", "/sdapi/v1/scripts"): lambda q, b: {"txt2img": [], "img2img": []},
             ("GET", "/sdapi/v1/script-info"): lambda q, b: [],
             ("GET", "/internal/ping"): lambda q, b: {},
+            ("GET", "/"): self.index,
             ("GET", "/internal/sysinfo"): self.sysinfo,
         }
         self.loras: List[Dict[str, Any]] = []
@@ -302,6 +303,11 @@ class Api:
             work_queue.run_and_wait(self.models.load, ckpt)
         return {}
 
+    def index(self, query, body):
+        from .webui_static import INDEX_HTML
+
+        return _RawResponse(INDEX_HTML, "text/html; charset=utf-8")
+
     def sysinfo(self, query, body):
         import platform
 
@@ -314,6 +320,12 @@ class Api:
             "backend": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
         }
+
+
+class _RawResponse:
+    def __init__(self, body: str, content_type: str):
+        self.body = body
+        self.content_type = content_type
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -347,6 +359,14 @@ class _Handler(BaseHTTPRequestHandler):
                     return
         try:
             result = handler(parse_qs(parsed.query), body)
+            if isinstance(result, _RawResponse):
+                data = result.body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", result.content_type)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             self._reply(200, result)
         except FileNotFoundError as e:
             self._reply(404, {"detail": str(e)})

@@ -117,7 +117,8 @@ def load_checkpoint_parts(
         if name.startswith("open_clip"):
             tsd = convert_open_clip(tsd)
             name = {"open_clip_h": "clip_h", "open_clip_g": "clip_g"}[name]
-        elif not any(k.startswith("text_model.") for k in tsd):
+        elif name.startswith("clip") and not any(k.startswith("text_model.") for k in tsd):
+            # bare CLIP dumps → HF text_model namespace (T5 keys stay as-is)
             tsd = {f"text_model.{k}" if not k.startswith("text_projection") else k: v
                    for k, v in tsd.items()}
         text_encoders[name] = _to_device_tree(tsd, text_dtype)

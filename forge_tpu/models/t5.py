@@ -77,6 +77,7 @@ def t5_apply(
 
     blocks = params["encoder"]["block"]
     rel = blocks["0"]["layer"]["0"]["SelfAttention"]["relative_attention_bias"]["weight"]
+    num_heads = rel.shape[1]  # definitive — the bias table is per-head
     buckets = jnp.asarray(relative_position_buckets(l, l))
     bias = jnp.take(rel, buckets, axis=0).transpose(2, 0, 1)[None]  # [1,H,L,L]
     if attention_mask is not None:

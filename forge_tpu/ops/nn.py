@@ -25,8 +25,14 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 def linear(x: jax.Array, p: Mapping[str, Any]) -> jax.Array:
-    """x [..., in] @ weight [out, in] + bias."""
+    """x [..., in] @ weight [out, in] + bias. Quantized weights (NF4/GGUF
+    block dicts, see ops/quant.py) dequantize on the fly — the reference's
+    "online" quantized path (backend/operations.py:355-438)."""
     w = p["weight"]
+    if isinstance(w, Mapping) and "kind" in w:
+        from . import quant
+
+        w = quant.dequantize(w, x.dtype)
     y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype), precision=_PRECISION)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(y.dtype)

@@ -1,0 +1,170 @@
+"""Low-bit weight quantization: NF4 (bitsandbytes layout) and GGUF blocks.
+
+The TPU re-expression of the reference's quantized-weight stack
+(backend/operations_bnb.py NF4/FP4 via bitsandbytes CUDA kernels,
+backend/operations_gguf.py + vendored gguf numpy dequant): block-quantized
+weights live in HBM as (packed codes + per-block scales); dequantization is
+a JAX function the XLA scheduler fuses ahead of the consuming matmul.
+
+Quantized leaves in a param tree are dicts:
+    {"kind": "nf4"|"q8_0"|"q4_0", "codes": uint8[...], "scales": ...,
+     "shape": (out, in)}
+ops/nn.linear detects them and dequantizes on the fly (the reference's
+"online" path for quantized weights, operations.py:355-438).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# NF4 codebook (QLoRA paper, information-theoretically optimal for N(0,1))
+NF4_CODE = np.asarray(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    dtype=np.float32,
+)
+
+NF4_BLOCK = 64
+GGUF_BLOCK = 32
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, Mapping) and "kind" in leaf and "codes" in leaf
+
+
+# ---------------------------------------------------------------------------
+# NF4
+
+
+def quantize_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> Dict[str, Any]:
+    """fp weight [out, in] → NF4 blocks (absmax-scaled nearest-code)."""
+    shape = w.shape
+    flat = np.asarray(w, np.float32).reshape(-1)
+    pad = (-len(flat)) % block
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.float32)])
+    blocks = flat.reshape(-1, block)
+    absmax = np.abs(blocks).max(axis=1)
+    absmax_safe = np.where(absmax == 0, 1.0, absmax)
+    normed = blocks / absmax_safe[:, None]
+    idx = np.abs(normed[..., None] - NF4_CODE).argmin(axis=-1).astype(np.uint8)
+    packed = (idx[:, 0::2] << 4) | idx[:, 1::2]
+    return {
+        "kind": "nf4",
+        "codes": packed.reshape(-1),  # uint8 [n/2]
+        "scales": absmax.astype(np.float32),
+        "shape": tuple(shape),
+    }
+
+
+def dequantize_nf4(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    codes = jnp.asarray(q["codes"])
+    hi = (codes >> 4).astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=-1).reshape(-1, NF4_BLOCK)
+    table = jnp.asarray(NF4_CODE)
+    vals = table[idx] * jnp.asarray(q["scales"])[:, None]
+    n = int(np.prod(q["shape"]))
+    return vals.reshape(-1)[:n].reshape(q["shape"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# GGUF Q8_0 / Q4_0 (block 32, f16 scale)
+
+
+def quantize_q8_0(w: np.ndarray) -> Dict[str, Any]:
+    shape = w.shape
+    flat = np.asarray(w, np.float32).reshape(-1)
+    pad = (-len(flat)) % GGUF_BLOCK
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.float32)])
+    blocks = flat.reshape(-1, GGUF_BLOCK)
+    scale = np.abs(blocks).max(axis=1) / 127.0
+    scale_safe = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(blocks / scale_safe[:, None]), -128, 127).astype(np.int8)
+    return {"kind": "q8_0", "codes": q.reshape(-1), "scales": scale.astype(np.float16),
+            "shape": tuple(shape)}
+
+
+def dequantize_q8_0(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    codes = jnp.asarray(q["codes"]).reshape(-1, GGUF_BLOCK).astype(jnp.float32)
+    vals = codes * jnp.asarray(q["scales"], jnp.float32)[:, None]
+    n = int(np.prod(q["shape"]))
+    return vals.reshape(-1)[:n].reshape(q["shape"]).astype(dtype)
+
+
+def quantize_q4_0(w: np.ndarray) -> Dict[str, Any]:
+    shape = w.shape
+    flat = np.asarray(w, np.float32).reshape(-1)
+    pad = (-len(flat)) % GGUF_BLOCK
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.float32)])
+    blocks = flat.reshape(-1, GGUF_BLOCK)
+    amax_idx = np.abs(blocks).argmax(axis=1)
+    amax = blocks[np.arange(len(blocks)), amax_idx]  # signed max (gguf convention)
+    scale = amax / -8.0
+    scale_safe = np.where(scale == 0, 1.0, scale)
+    q = np.clip((blocks / scale_safe[:, None]) + 8.5, 0, 15).astype(np.uint8)
+    packed = q[:, :16] | (q[:, 16:] << 4)
+    return {"kind": "q4_0", "codes": packed.reshape(-1), "scales": scale.astype(np.float16),
+            "shape": tuple(shape)}
+
+
+def dequantize_q4_0(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    packed = jnp.asarray(q["codes"]).reshape(-1, 16)
+    lo = (packed & 0xF).astype(jnp.float32) - 8.0
+    hi = (packed >> 4).astype(jnp.float32) - 8.0
+    blocks = jnp.concatenate([lo, hi], axis=1)  # [nblocks, 32]
+    vals = blocks * jnp.asarray(q["scales"], jnp.float32)[:, None]
+    n = int(np.prod(q["shape"]))
+    return vals.reshape(-1)[:n].reshape(q["shape"]).astype(dtype)
+
+
+_DEQUANT = {"nf4": dequantize_nf4, "q8_0": dequantize_q8_0, "q4_0": dequantize_q4_0}
+_QUANT = {"nf4": quantize_nf4, "q8_0": quantize_q8_0, "q4_0": quantize_q4_0}
+
+
+def dequantize(leaf: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    return _DEQUANT[leaf["kind"]](leaf, dtype)
+
+
+def quantize(w: np.ndarray, kind: str) -> Dict[str, Any]:
+    return _QUANT[kind](w)
+
+
+def quantize_tree(params: Dict[str, Any], kind: str, min_size: int = 1 << 16,
+                  skip_substrings: Tuple[str, ...] = ("norm", "emb", "bias")) -> Dict[str, Any]:
+    """Quantize all large 2D weights of a param tree (host-side, numpy).
+    Norms/embeddings/biases stay full precision like the reference's loaders.
+    """
+    from ..core.tree import map_leaves
+
+    def visit(path, leaf):
+        if is_quantized(leaf):
+            return leaf
+        arr = np.asarray(leaf)
+        if arr.ndim != 2 or arr.size < min_size:
+            return leaf
+        if any(s in path for s in skip_substrings):
+            return leaf
+        return quantize(arr, kind)
+
+    return map_leaves(visit, params)
+
+
+def to_device(qleaf: Mapping[str, Any]) -> Dict[str, Any]:
+    return {
+        "kind": qleaf["kind"],
+        "codes": jnp.asarray(qleaf["codes"]),
+        "scales": jnp.asarray(qleaf["scales"]),
+        "shape": tuple(qleaf["shape"]),
+    }

@@ -29,6 +29,17 @@ from ..text.textual_inversion import EmbeddingDatabase
 from ..sampling import prediction as pred_mod
 
 
+def _first_line(prompt: str) -> str:
+    return prompt
+
+
+def _te_width(tree) -> int:
+    try:
+        return tree["text_model"]["embeddings"]["token_embedding"]["weight"].shape[1]
+    except (KeyError, AttributeError):
+        return 0
+
+
 class DiffusionEngine:
     def __init__(
         self,
@@ -43,7 +54,27 @@ class DiffusionEngine:
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
         self.latent_format = latent_formats.BY_FAMILY[loaded.family]
-        self.unet_cfg = unet_mod.UNetConfig.for_family(loaded.family)
+        self.unet_cfg = None
+        self.flux_cfg = None
+        self.mmdit_cfg = None
+        if loaded.family in ("flux", "chroma"):
+            from ..models.flux import FluxConfig
+
+            hidden = loaded.unet["img_in"]["weight"].shape[0]
+            self.flux_cfg = FluxConfig(
+                num_heads=max(hidden // 128, 1),
+                guidance_embed="guidance_in" in loaded.unet,
+            )
+        elif loaded.family == "sd3":
+            from ..models.mmdit import MMDiTConfig
+
+            hidden = loaded.unet["x_embedder"]["proj"]["bias"].shape[0]
+            pos = loaded.unet.get("pos_embed")
+            pos_max = int(np.sqrt(pos.shape[1])) if pos is not None else 192
+            self.mmdit_cfg = MMDiTConfig(num_heads=max(hidden // 64, 1),
+                                         pos_embed_max_size=pos_max)
+        else:
+            self.unet_cfg = unet_mod.UNetConfig.for_family(loaded.family)
         self.tokenizer = tokenizer or default_tokenizer()
 
         self.embedding_db = EmbeddingDatabase(self.tokenizer)
@@ -54,6 +85,28 @@ class DiffusionEngine:
         self.text_engines = self._build_text_engines()
         self._jit_cache: Dict[Any, Any] = {}
         self.clip_skip = 1
+        self.mesh = None  # set by attach_mesh for multi-chip serving
+
+    def attach_mesh(self, mesh, tensor_parallel: bool = False):
+        """Place this engine on a device mesh for multi-chip serving:
+        batch fans out over the 'dp' axis; with tensor_parallel=True the
+        UNet transformer matmuls shard over 'tp' (Megatron-style) for models
+        that exceed one chip's HBM (SURVEY.md §2.4 TPU-native equivalents)."""
+        from ..parallel import mesh as mesh_mod
+
+        self.mesh = mesh
+        if tensor_parallel and self.family in ("sd15", "sd20", "sdxl", "sdxl_refiner"):
+            self.loaded.unet = mesh_mod.shard_unet_params(self.loaded.unet, mesh)
+        else:
+            self.loaded.unet = mesh_mod.shard_replicated(self.loaded.unet, mesh)
+        if self.loaded.vae is not None:
+            self.loaded.vae = mesh_mod.shard_replicated(self.loaded.vae, mesh)
+        for name, te in self.loaded.text_encoders.items():
+            self.loaded.text_encoders[name] = mesh_mod.shard_replicated(te, mesh)
+        for name, engine in self.text_engines.items():
+            if name in self.loaded.text_encoders and hasattr(engine, "params"):
+                engine.params = self.loaded.text_encoders[name]
+        self._jit_cache.clear()
 
     # -- assembly -----------------------------------------------------------
 
@@ -78,7 +131,7 @@ class DiffusionEngine:
             engines["clip_h"] = ClassicTextEngine(
                 tes["clip_h"], self.tokenizer,
                 TextEncoderOptions(), self.embedding_db,
-                cfg=ClipConfig.for_width(1024),
+                cfg=ClipConfig.for_width(_te_width(tes["clip_h"]) or 1024),
             )
         elif self.family == "sdxl":
             engines["clip_l"] = ClassicTextEngine(
@@ -91,7 +144,7 @@ class DiffusionEngine:
                 TextEncoderOptions(layer="hidden", layer_idx=-2, final_layer_norm=False,
                                    pooled_projection=True, which_embedding="g"),
                 self.embedding_db,
-                cfg=ClipConfig.for_width(1280),
+                cfg=ClipConfig.for_width(_te_width(tes["clip_g"]) or 1280),
             )
         elif self.family == "sdxl_refiner":
             engines["clip_g"] = ClassicTextEngine(
@@ -99,8 +152,42 @@ class DiffusionEngine:
                 TextEncoderOptions(layer="hidden", layer_idx=-2, final_layer_norm=False,
                                    pooled_projection=True, which_embedding="g"),
                 self.embedding_db,
-                cfg=ClipConfig.for_width(1280),
+                cfg=ClipConfig.for_width(_te_width(tes["clip_g"]) or 1280),
             )
+        elif self.family in ("flux", "chroma"):
+            from ..text.t5_engine import T5TextEngine
+
+            if "clip_l" in tes:
+                engines["clip_l"] = ClassicTextEngine(
+                    tes["clip_l"], self.tokenizer, TextEncoderOptions(), self.embedding_db
+                )
+            if "t5xxl" in tes:
+                t5_width = tes["t5xxl"]["shared"]["weight"].shape[1]
+                engines["t5xxl"] = T5TextEngine(
+                    tes["t5xxl"], max_length=512, num_heads=max(t5_width // 64, 1)
+                )
+        elif self.family == "sd3":
+            from ..text.t5_engine import T5TextEngine
+
+            if "clip_l" in tes:
+                engines["clip_l"] = ClassicTextEngine(
+                    tes["clip_l"], self.tokenizer,
+                    TextEncoderOptions(layer="hidden", layer_idx=-2, final_layer_norm=False),
+                    self.embedding_db,
+                )
+            if "clip_g" in tes:
+                engines["clip_g"] = ClassicTextEngine(
+                    tes["clip_g"], self.tokenizer,
+                    TextEncoderOptions(layer="hidden", layer_idx=-2, final_layer_norm=False,
+                                       pooled_projection=True, which_embedding="g"),
+                    self.embedding_db,
+                    cfg=ClipConfig.for_width(_te_width(tes["clip_g"])),
+                )
+            if "t5xxl" in tes:
+                t5_width = tes["t5xxl"]["shared"]["weight"].shape[1]
+                engines["t5xxl"] = T5TextEngine(
+                    tes["t5xxl"], max_length=77, num_heads=max(t5_width // 64, 1)
+                )
         return engines
 
     # -- conditioning -------------------------------------------------------
@@ -108,7 +195,7 @@ class DiffusionEngine:
     def set_clip_skip(self, clip_skip: int):
         self.clip_skip = clip_skip
         for eng in self.text_engines.values():
-            if eng.opts.layer == "last":
+            if hasattr(eng, "opts") and eng.opts.layer == "last":
                 eng.opts.clip_skip = clip_skip
 
     def get_learned_conditioning(
@@ -153,16 +240,81 @@ class DiffusionEngine:
             return {"context": zg.astype(self.compute_dtype),
                     "y": y.astype(self.compute_dtype)}
 
+        if self.family in ("flux", "chroma"):
+            # T5 features as context, CLIP-L pooled as the y vector; the
+            # distilled-CFG guidance scalar is appended at sampling time
+            # (reference diffusion_engine/flux.py:90-93).
+            zt5 = self.text_engines["t5xxl"]([_first_line(p) for p in prompts])
+            if "clip_l" in self.text_engines:
+                _, pooled = self.text_engines["clip_l"](prompts, max_chunks=1)
+            else:
+                pooled = jnp.zeros((len(prompts), 768))
+            return {"context": zt5.astype(self.compute_dtype),
+                    "y": pooled.astype(self.compute_dtype)}
+
+        if self.family == "sd3":
+            parts = []
+            pooled_parts = []
+            if "clip_l" in self.text_engines:
+                zl, pl = self.text_engines["clip_l"](prompts, max_chunks=1)
+                parts.append(zl)
+                pooled_parts.append(pl)
+            if "clip_g" in self.text_engines:
+                zg, pg = self.text_engines["clip_g"](prompts, max_chunks=1)
+                parts.append(zg)
+                pooled_parts.append(pg)
+            lg = jnp.concatenate(parts, axis=-1) if parts else None
+            ctx_dim = self.loaded.context_dim
+            pieces = []
+            if lg is not None:
+                pad = ctx_dim - lg.shape[-1]
+                pieces.append(jnp.pad(lg, ((0, 0), (0, 0), (0, pad))))
+            if "t5xxl" in self.text_engines:
+                pieces.append(self.text_engines["t5xxl"]([_first_line(p) for p in prompts]))
+            context = jnp.concatenate(pieces, axis=1)
+            y = jnp.concatenate(pooled_parts, axis=-1) if pooled_parts else jnp.zeros((len(prompts), 2048))
+            return {"context": context.astype(self.compute_dtype),
+                    "y": y.astype(self.compute_dtype)}
+
         raise NotImplementedError(self.family)
 
     # -- nets ---------------------------------------------------------------
 
-    def unet_apply_fn(self, hooks=None, control=None):
+    def unet_apply_fn(self, hooks=None, control=None, controlnets=None):
+        if self.family in ("flux", "chroma"):
+            from ..models import flux as flux_mod
+
+            fcfg = self.flux_cfg
+
+            def apply_flux(params, x, t, context, y=None, guidance=None):
+                return flux_mod.flux_apply(
+                    params, x, t, context, y, guidance=guidance, cfg=fcfg
+                )
+
+            return apply_flux
+
+        if self.family == "sd3":
+            from ..models import mmdit as mmdit_mod
+
+            mcfg = self.mmdit_cfg
+
+            def apply_sd3(params, x, t, context, y=None):
+                return mmdit_mod.mmdit_apply(params, x, t, context, y, cfg=mcfg)
+
+            return apply_sd3
+
         cfg = self.unet_cfg
 
         def apply(params, x, t, context, y=None):
+            ctrl = control
+            if controlnets:
+                from ..models.controlnet import run_controlnets
+
+                # schedule-position gate: t≈999 at the start of sampling
+                frac = 1.0 - t[0] / 999.0
+                ctrl = run_controlnets(controlnets, x, t, frac, context, y=y)
             return unet_mod.unet_apply(
-                params, x, t, context, y=y, cfg=cfg, control=control, hooks=hooks
+                params, x, t, context, y=y, cfg=cfg, control=ctrl, hooks=hooks
             )
 
         return apply
@@ -182,6 +334,58 @@ class DiffusionEngine:
 
             self._jit_cache[key] = fn
         return self._jit_cache[key](latent)
+
+    def decode_first_stage_tiled(self, latent: jax.Array, tile: int = 64,
+                                 overlap: int = 8) -> jax.Array:
+        """Tiled decode with feathered seam blending for canvases whose
+        activations exceed HBM (reference patcher/vae.py:11-57 tiled_scale
+        with OOM fallback :143-146 — here an explicit choice, since XLA
+        preallocates and cannot catch OOM mid-graph)."""
+        b, h, w, c = latent.shape
+        if h <= tile and w <= tile:
+            return self.decode_first_stage(latent)
+        scale = 8
+        out = np.zeros((b, h * scale, w * scale, 3), np.float32)
+        weight = np.zeros((b, h * scale, w * scale, 1), np.float32)
+        stride = tile - overlap
+        ramp = np.minimum(np.arange(1, tile * scale + 1), overlap * scale) / (overlap * scale)
+        feather = np.minimum.outer(np.minimum(ramp, ramp[::-1]), np.minimum(ramp, ramp[::-1]))[..., None]
+        for top in range(0, max(h - overlap, 1), stride):
+            for left in range(0, max(w - overlap, 1), stride):
+                bottom, right = min(top + tile, h), min(left + tile, w)
+                t0, l0 = bottom - min(tile, h), right - min(tile, w)
+                piece = self.decode_first_stage(latent[:, t0:bottom, l0:right])
+                piece = np.asarray(piece.astype(jnp.float32))
+                fh, fw = piece.shape[1], piece.shape[2]
+                fm = feather[:fh, :fw]
+                out[:, t0 * scale : t0 * scale + fh, l0 * scale : l0 * scale + fw] += piece * fm
+                weight[:, t0 * scale : t0 * scale + fh, l0 * scale : l0 * scale + fw] += fm
+        return jnp.asarray(out / np.maximum(weight, 1e-6))
+
+    def encode_first_stage_tiled(self, images: jax.Array, tile: int = 512,
+                                 overlap: int = 64) -> jax.Array:
+        b, h, w, c = images.shape
+        if h <= tile and w <= tile:
+            return self.encode_first_stage(images)
+        scale = 8
+        lh, lw = h // scale, w // scale
+        out = np.zeros((b, lh, lw, self.latent_format.latent_channels), np.float32)
+        weight = np.zeros((b, lh, lw, 1), np.float32)
+        stride = tile - overlap
+        lt, lo = tile // scale, overlap // scale
+        ramp = np.minimum(np.arange(1, lt + 1), lo) / lo
+        feather = np.minimum.outer(np.minimum(ramp, ramp[::-1]), np.minimum(ramp, ramp[::-1]))[..., None]
+        for top in range(0, max(h - overlap, 1), stride):
+            for left in range(0, max(w - overlap, 1), stride):
+                bottom, right = min(top + tile, h), min(left + tile, w)
+                t0, l0 = bottom - min(tile, h), right - min(tile, w)
+                piece = self.encode_first_stage(images[:, t0:bottom, l0:right])
+                piece = np.asarray(piece.astype(jnp.float32))
+                fh, fw = piece.shape[1], piece.shape[2]
+                fm = feather[:fh, :fw]
+                out[:, t0 // scale : t0 // scale + fh, l0 // scale : l0 // scale + fw] += piece * fm
+                weight[:, t0 // scale : t0 // scale + fh, l0 // scale : l0 // scale + fw] += fm
+        return jnp.asarray(out / np.maximum(weight, 1e-6))
 
     def encode_first_stage(self, images: jax.Array, noise: Optional[jax.Array] = None) -> jax.Array:
         """images [B,H,W,3] in [-1,1] → regulated latent [B,H/8,W/8,C]."""

@@ -20,6 +20,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import io_callback
 
 from ..ops.image_rng import ImageRNG
 from ..sampling import cfg as cfg_mod
@@ -51,6 +52,7 @@ class Processing:
     clip_skip: int = 1
     eta_noise_seed_delta: int = 0
     cfg_rescale: float = 0.0
+    distilled_cfg_scale: float = 3.5  # Flux guidance embed
     # img2img
     init_images: Optional[List[np.ndarray]] = None  # [H,W,3] uint8/float
     denoising_strength: float = 0.75
@@ -69,6 +71,10 @@ class Processing:
 
     all_seeds: Optional[List[int]] = None
     all_subseeds: Optional[List[int]] = None
+    # extension surface (runtime/scripts.py): hook manifest + attached nets
+    scripts: Optional[Any] = None            # ScriptRunner
+    unet_hooks: Optional[Dict[str, Any]] = None
+    controlnets: Optional[List[Any]] = None  # models.controlnet.ControlNetState
 
 
 @dataclasses.dataclass
@@ -122,10 +128,46 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
     )
 
 
+_CALLBACKS_OK: Optional[bool] = None
+
+
+def _callbacks_supported() -> bool:
+    """Some PJRT plugins (axon tunnel) lack host send/recv callbacks; probe
+    once and fall back to coarse (per-batch) progress when unsupported."""
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        try:
+            def probe(x):
+                io_callback(lambda v: None, None, x, ordered=False)
+                return x + 1
+
+            jax.jit(probe)(jnp.zeros(())).block_until_ready()
+            _CALLBACKS_OK = True
+        except Exception:
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
+
+
+def _progress_tick(x0):
+    """Host callback from inside the compiled scan: advance the job state
+    and refresh the cheap latent preview (reference store_latent /
+    shared_state.do_set_current_image)."""
+    from ..runtime.state import state
+    from .preview import latent_to_rgb_cheap
+
+    state.sampling_step += 1
+    try:
+        every = 10
+        if state.sampling_step % every == 0:
+            state.set_current_image(latent_to_rgb_cheap(np.asarray(x0))[0])
+    except Exception:
+        pass
+
+
 def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
-                     masked: bool, sigmas_np: np.ndarray):
+                     masked: bool, sigmas_np: np.ndarray, progress: bool = False):
     info = get_sampler(p.sampler_name)
-    apply_raw = engine.unet_apply_fn()
+    apply_raw = engine.unet_apply_fn(hooks=p.unet_hooks, controlnets=p.controlnets)
     predictor = engine.predictor
 
     def fn(unet_params, x, noise, cond, uncond, cfg_scale, mask, init_latent):
@@ -141,6 +183,13 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
         )
         if masked:
             model_fn = cfg_mod.make_masked_model_fn(model_fn, mask, init_latent, predictor)
+        if progress:
+            inner = model_fn
+
+            def model_fn(x_, sigma_):  # noqa: F811 — progress-wrapped
+                x0 = inner(x_, sigma_)
+                io_callback(_progress_tick, None, x0, ordered=False)
+                return x0
 
         import inspect
 
@@ -176,6 +225,12 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     _resolve_seeds(p)
     engine.set_clip_skip(p.clip_skip)
 
+    runner = p.scripts
+    if runner is not None:
+        runner.setup(p)
+        runner.before_process(p)
+        runner.process(p)
+
     is_img2img = p.init_images is not None
     timings: Dict[str, float] = {}
     images: List[np.ndarray] = []
@@ -199,17 +254,29 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
         # -- conditioning (chunk-equalized cond/uncond) ---------------------
         tc = time.time()
-        eng0 = next(iter(engine.text_engines.values()))
-        _, mc_pos = eng0.tokenize_batch(prompts)
-        _, mc_neg = eng0.tokenize_batch(negs)
-        max_chunks = max(mc_pos, mc_neg)
+        eng0 = next((e for e in engine.text_engines.values()
+                     if hasattr(e, "tokenize_batch")), None)
+        if eng0 is not None:
+            _, mc_pos = eng0.tokenize_batch(prompts)
+            _, mc_neg = eng0.tokenize_batch(negs)
+            max_chunks = max(mc_pos, mc_neg)
+        else:
+            max_chunks = 1
         cond = engine.get_learned_conditioning(
             prompts, p.width, p.height, max_chunks=max_chunks
         )
         uncond = engine.get_learned_conditioning(
             negs, p.width, p.height, is_negative=True, max_chunks=max_chunks
         )
+        if engine.family in ("flux", "chroma"):
+            g = jnp.full((p.batch_size,), p.distilled_cfg_scale, jnp.float32)
+            cond = dict(cond, guidance=g)
+            uncond = dict(uncond, guidance=g)
         timings["cond"] = time.time() - tc
+        if runner is not None:
+            runner.before_process_batch(p, batch_number=it, prompts=prompts, seeds=seeds)
+            runner.process_batch(p, batch_number=it, prompts=prompts, seeds=seeds)
+            runner.process_before_every_sampling(p, cond=cond, uncond=uncond)
         for te_name, orig in orig_te.items():
             engine.text_engines[te_name].params = orig
 
@@ -220,23 +287,31 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
         timings.update(_PHASE)
 
         ts = time.time()
+        if runner is not None:
+            batch_images = runner.postprocess_batch(p, batch_images, batch_number=it)
         for b in range(p.batch_size):
             img = batch_images[b]
             if is_img2img and p.inpaint_mask is not None:
                 img = _composite_inpaint(p, img, p.init_images[min(b, len(p.init_images) - 1)])
+            if runner is not None:
+                img = runner.postprocess_image(p, img, index=b)
             images.append(img)
             infotexts.append(create_infotext(p, seeds[b], subseeds[b]))
         timings["post"] = time.time() - ts
 
     timings["total"] = time.time() - t0
-    return Processed(
+    processed = Processed(
         images=images,
         seeds=p.all_seeds,
         subseeds=p.all_subseeds,
         infotexts=infotexts,
-        params=dataclasses.asdict(p),
+        params={k: v for k, v in dataclasses.asdict(p).items()
+                if k not in ("scripts", "unet_hooks", "controlnets", "init_images", "inpaint_mask")},
         timings=timings,
     )
+    if runner is not None:
+        runner.postprocess(p, processed)
+    return processed
 
 
 def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array) -> np.ndarray:
@@ -252,12 +327,34 @@ def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array) -> np.ndarray:
 def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
                  mask=None, init_latent=None, kind="txt2img", unet_params=None):
     shape = tuple(x.shape)
-    key = _sample_jit_key(p, engine, shape, skip_uncond, sigmas, kind) + (mask is not None,)
+    from ..runtime.options import opts as _opts
+
+    try:
+        progress = bool(_opts.get("live_previews_enable")) and _callbacks_supported()
+    except KeyError:
+        progress = False
+    key = _sample_jit_key(p, engine, shape, skip_uncond, sigmas, kind) + (
+        mask is not None, progress,
+        id(p.unet_hooks) if p.unet_hooks else None,
+        id(p.controlnets) if p.controlnets else None,
+    )
     if key not in engine._jit_cache:
         engine._jit_cache[key] = _build_sample_fn(
-            engine, p, skip_uncond, mask is not None, np.asarray(sigmas, np.float32)
+            engine, p, skip_uncond, mask is not None, np.asarray(sigmas, np.float32),
+            progress=progress,
         )
     fn = engine._jit_cache[key]
+    if engine.mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        sh = batch_sharding(engine.mesh)
+        x = jax.device_put(x, sh)
+        cond = jax.tree.map(lambda v: jax.device_put(v, sh), cond)
+        uncond = jax.tree.map(lambda v: jax.device_put(v, sh), uncond)
+        if noise is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            noise = jax.device_put(noise, NamedSharding(engine.mesh, P(None, None, "dp")))
     zero = jnp.zeros((), jnp.float32)
     mask_in = zero if mask is None else mask
     init_in = zero if init_latent is None else init_latent
