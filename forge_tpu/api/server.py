@@ -93,6 +93,8 @@ class Api:
             ("GET", "/sdapi/v1/sd-modules"): self.get_sd_modules,
             ("GET", "/sdapi/v1/cmd-flags"): lambda q, b: {},
             ("GET", "/sdapi/v1/upscalers"): self.get_upscalers,
+            ("POST", "/sdapi/v1/extra-single-image"): self.extra_single,
+            ("POST", "/sdapi/v1/extra-batch-images"): self.extra_batch,
             ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [{"name": "Latent"}],
             ("GET", "/sdapi/v1/embeddings"): self.get_embeddings,
             ("GET", "/sdapi/v1/loras"): self.get_loras,
@@ -109,6 +111,9 @@ class Api:
             ("GET", "/internal/sysinfo"): self.sysinfo,
         }
         self.loras: List[Dict[str, Any]] = []
+        from ..pipeline.upscalers import UpscalerRegistry
+
+        self.upscalers = UpscalerRegistry(model_dirs={"ESRGAN": "models/ESRGAN"})
 
     # -- generation ---------------------------------------------------------
 
@@ -240,9 +245,26 @@ class Api:
 
     def get_upscalers(self, query, body):
         return [
-            {"name": n, "model_name": None, "model_path": None, "model_url": None, "scale": 4}
-            for n in ("None", "Lanczos", "Nearest", "Latent")
+            {"name": n, "model_name": None, "model_path": None, "model_url": None,
+             "scale": u.scale}
+            for n, u in self.upscalers.upscalers.items()
         ]
+
+    def _upscale_one(self, img_b64: str, body) -> str:
+        img = _b64_to_image(img_b64)
+        name = body.get("upscaler_1", "Lanczos")
+        scale = float(body.get("upscaling_resize", 2))
+        out = work_queue.run_and_wait(self.upscalers.get(name).upscale, img, scale)
+        return _image_to_b64(out)
+
+    def extra_single(self, query, body):
+        return {"image": self._upscale_one(body.get("image", ""), body), "html_info": ""}
+
+    def extra_batch(self, query, body):
+        images = body.get("imageList", []) or body.get("images", [])
+        out = [self._upscale_one(item.get("data", item) if isinstance(item, dict) else item, body)
+               for item in images]
+        return {"images": out, "html_info": ""}
 
     def get_embeddings(self, query, body):
         eng = self.models.engine

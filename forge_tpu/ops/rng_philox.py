@@ -80,6 +80,13 @@ class Generator:
         self.offset = 0
 
     def randn(self, shape) -> np.ndarray:
+        from . import native_philox
+
+        native = native_philox.randn(self.seed, self.offset, shape)
+        if native is not None:
+            self.offset += 1
+            return native
+
         n = int(np.prod(shape))
         counter = np.zeros((4, n), dtype=np.uint32)
         counter[0][:] = np.uint32(self.offset & 0xFFFFFFFF)

@@ -453,6 +453,8 @@ def _gaussian_blur(img: np.ndarray, radius: float) -> np.ndarray:
 
 
 def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, cond, uncond, unet_params=None):
+    if p.inpaint_full_res and p.inpaint_mask is not None:
+        return _sample_inpaint_full_res(engine, p, seeds, subseeds, cond, uncond, unet_params)
     info = get_sampler(p.sampler_name)
     lc = engine.latent_format.latent_channels
     h8, w8 = p.height // 8, p.width // 8
@@ -516,6 +518,48 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                           mask=mask_latent, init_latent=init_latent, kind="img2img",
                           unet_params=unet_params)
     return _decode_to_uint8(engine, latent)
+
+
+def _sample_inpaint_full_res(engine, p, seeds, subseeds, cond, uncond, unet_params):
+    """'Only masked' inpainting (reference processing.py:1684-1842 +
+    masking.py): crop around the mask, inpaint the crop at full processing
+    resolution, paste back scaled."""
+    import dataclasses as _dc
+
+    from .masking import expand_crop_region, get_crop_region, resize_image
+
+    mask = np.asarray(p.inpaint_mask, np.float32)
+    if mask.max() > 1.5:
+        mask = mask / 255.0
+    if p.inpainting_mask_invert:
+        mask = 1.0 - mask
+    orig = np.asarray(p.init_images[0])
+    ih, iw = orig.shape[:2]
+    region = get_crop_region((mask > 0.5).astype(np.float32), p.inpaint_full_res_padding)
+    if region is None:
+        q = _dc.replace(p, inpaint_full_res=False)
+        return _sample_img2img(engine, q, seeds, subseeds, cond, uncond, unet_params)
+    region = expand_crop_region(region, p.width, p.height, iw, ih)
+    x1, y1, x2, y2 = region
+
+    crop = orig[y1:y2, x1:x2]
+    crop_mask = mask[y1:y2, x1:x2]
+    crop_rs = resize_image(crop, p.width, p.height)
+    mask_rs = resize_image((crop_mask * 255).astype(np.uint8), p.width, p.height).astype(np.float32) / 255.0
+
+    q = _dc.replace(p, inpaint_full_res=False, init_images=[crop_rs], inpaint_mask=mask_rs)
+    out = _sample_img2img(engine, q, seeds, subseeds, cond, uncond, unet_params)
+
+    results = []
+    for b in range(out.shape[0]):
+        gen = resize_image(out[b], x2 - x1, y2 - y1)
+        full = orig.astype(np.float32).copy()
+        m = np.clip(_gaussian_blur(crop_mask, p.mask_blur), 0, 1)[..., None]
+        full[y1:y2, x1:x2] = full[y1:y2, x1:x2] * (1 - m) + gen.astype(np.float32) * m
+        results.append(np.clip(full, 0, 255).astype(np.uint8))
+    # mark composite as done so the outer loop doesn't re-composite
+    p.inpaint_mask = None
+    return np.stack(results)
 
 
 def _composite_inpaint(p: Processing, generated: np.ndarray, original) -> np.ndarray:

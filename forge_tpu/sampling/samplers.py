@@ -421,6 +421,120 @@ def sample_lms(model_fn: ModelFn, x, sigmas, noise=None, order: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Adams-Bashforth multistep (ipndm family)
+
+_AB_COEFFS = (
+    (1.0,),
+    (3 / 2, -1 / 2),
+    (23 / 12, -16 / 12, 5 / 12),
+    (55 / 24, -59 / 24, 37 / 24, -9 / 24),
+)
+
+
+def sample_ipndm(model_fn: ModelFn, x, sigmas, noise=None, order: int = 4):
+    """Improved pseudo-numerical method: fixed-coefficient Adams-Bashforth
+    over the probe-flow derivative, warming up through orders 1..4."""
+
+    def body(carry, s):
+        sigma, sigma_next, i = s["sigma"], s["sigma_next"], s["i"]
+        denoised = model_fn(carry["x"], sigma)
+        d = to_d(carry["x"], sigma, denoised)
+        ds = jnp.concatenate([d[None], carry["ds"][:-1]], axis=0)  # newest first
+        dt = sigma_next - sigma
+
+        cur_order = jnp.minimum(i + 1, order)
+        update = jnp.zeros_like(d)
+        for o in range(1, order + 1):
+            coeffs = _AB_COEFFS[o - 1] + (0.0,) * (order - o)
+            contrib = sum(c * ds[j] for j, c in enumerate(coeffs))
+            update = jnp.where(cur_order == o, contrib, update)
+        return {"x": carry["x"] + dt * update, "ds": ds}, None
+
+    ds0 = jnp.zeros((order,) + x.shape, x.dtype)
+    xs = {"sigma": jnp.asarray(sigmas[:-1]), "sigma_next": jnp.asarray(sigmas[1:]),
+          "i": jnp.arange(len(sigmas) - 1)}
+    final, _ = jax.lax.scan(body, {"x": x, "ds": ds0}, xs)
+    return final["x"]
+
+
+def sample_ipndm_v(model_fn: ModelFn, x, sigmas, noise=None, order: int = 4):
+    """Variable-step ipndm: Adams-Bashforth coefficients recomputed from the
+    actual step-size ratios each step (k-diffusion sample_ipndm_v)."""
+    sig = np.asarray(sigmas, np.float64)
+    n = len(sig) - 1
+    dts = sig[1:] - sig[:-1]  # [n]
+    coeff_table = np.zeros((n, order))
+    for i in range(n):
+        cur = min(i + 1, order)
+        h = dts[i]
+        if cur == 1:
+            c = [1.0]
+        else:
+            hs = [dts[i - j] for j in range(cur)]  # h_0=current, h_1=prev...
+            # integrate the Lagrange basis over [0, h] with nodes at
+            # t_0=0, t_1=-h_1, t_2=-(h_1+h_2), ...
+            nodes = [0.0]
+            acc = 0.0
+            for j in range(1, cur):
+                acc -= hs[j]
+                nodes.append(acc)
+            import scipy.integrate
+
+            c = []
+            for j in range(cur):
+                def basis(tau, j=j):
+                    prod = 1.0
+                    for m in range(cur):
+                        if m == j:
+                            continue
+                        prod *= (tau - nodes[m]) / (nodes[j] - nodes[m])
+                    return prod
+
+                c.append(scipy.integrate.quad(basis, 0.0, h, epsrel=1e-6)[0] / h)
+        coeff_table[i, : len(c)] = c
+    coeffs = jnp.asarray(coeff_table, jnp.float32)
+
+    def body(carry, s):
+        sigma, sigma_next, cs = s["sigma"], s["sigma_next"], s["coeffs"]
+        denoised = model_fn(carry["x"], sigma)
+        d = to_d(carry["x"], sigma, denoised)
+        ds = jnp.concatenate([d[None], carry["ds"][:-1]], axis=0)
+        dt = sigma_next - sigma
+        update = jnp.tensordot(cs, ds, axes=1)
+        return {"x": carry["x"] + dt * update, "ds": ds}, None
+
+    ds0 = jnp.zeros((order,) + x.shape, x.dtype)
+    xs = {"sigma": jnp.asarray(sigmas[:-1]), "sigma_next": jnp.asarray(sigmas[1:]),
+          "coeffs": coeffs}
+    final, _ = jax.lax.scan(body, {"x": x, "ds": ds0}, xs)
+    return final["x"]
+
+
+def sample_ddpm(model_fn: ModelFn, x, sigmas, noise, s_noise=1.0):
+    """Exact DDPM ancestral update expressed in σ-space (the Forge alter
+    sampler, backend/modules/k_diffusion_extra.py): ᾱ = 1/(1+σ²)."""
+
+    def step(c, s):
+        sigma, sigma_next = s["sigma"], s["sigma_next"]
+        denoised = model_fn(c["x"], sigma)
+        abar_t = 1.0 / (1.0 + sigma**2)
+        abar_prev = 1.0 / (1.0 + sigma_next**2)
+        alpha_t = abar_t / abar_prev
+        beta_t = 1.0 - alpha_t
+
+        eps = (c["x"] - denoised) / sigma
+        # DDPM-space mean, mapped back to σ-space coordinates
+        x_ddpm = c["x"] * jnp.sqrt(abar_t)
+        mean = (x_ddpm - beta_t / jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(alpha_t)
+        xx = mean / jnp.sqrt(abar_prev)
+        sigma_up = jnp.sqrt(beta_t) / jnp.sqrt(abar_prev)
+        xx = jnp.where(sigma_next > 0, xx + s["noise"][0] * s_noise * sigma_up, denoised)
+        return {"x": xx}
+
+    return _scan(step, x, {}, sigmas, noise)
+
+
+# ---------------------------------------------------------------------------
 # LCM / DDIM
 
 
@@ -481,6 +595,9 @@ SAMPLERS: Dict[str, SamplerInfo] = {
     "DPM++ 3M SDE": SamplerInfo(sample_dpmpp_3m_sde, 1, brownian_noise=True, aliases=("k_dpmpp_3m_sde", "dpmpp_3m_sde")),
     "LCM": SamplerInfo(sample_lcm, 1, uses_ensd=True, aliases=("lcm",)),
     "DDIM": SamplerInfo(sample_ddim, 0, aliases=("ddim",)),
+    "ipndm": SamplerInfo(sample_ipndm, 0, aliases=("k_ipndm",)),
+    "ipndm_v": SamplerInfo(sample_ipndm_v, 0, aliases=("k_ipndm_v",)),
+    "DDPM": SamplerInfo(sample_ddpm, 1, uses_ensd=True, aliases=("ddpm",)),
 }
 
 
