@@ -90,7 +90,7 @@ def _attn_block(
             q, k, v = fn(q, k, v, {"block": block_id, "n_heads": heads})
 
     replace = hooks.get(f"{which}_replace", {})
-    fn = replace.get(block_id)
+    fn = replace.get(block_id) or hooks.get(f"{which}_replace_all")
     if fn is not None:
         out = fn(q, k, v, {"block": block_id, "n_heads": heads})
     else:

@@ -106,6 +106,43 @@ def _resolve_seeds(p: Processing) -> None:
     p.subseed = sub
 
 
+def _build_scheduled_cond(engine, p, prompts, max_chunks=None, is_negative=False,
+                          allow_and=True):
+    """Encode prompts honoring [a:b:N] editing schedules (per-step cond
+    tensors selected inside the compiled loop) and AND composition (extra
+    CFG branches with weights). → (cond, branches, weights)."""
+    from ..sampling.cfg import PerStep
+    from ..text.schedule import get_schedule, split_composable
+
+    def encode(texts):
+        return engine.get_learned_conditioning(
+            texts, p.width, p.height, max_chunks=max_chunks, is_negative=is_negative
+        )
+
+    parts = split_composable(prompts[0]) if allow_and else [(prompts[0], 1.0)]
+    weights = [w for _, w in parts]
+
+    def encode_scheduled(text):
+        sched = get_schedule(text, p.steps)
+        if len(sched) == 1:
+            return encode([sched[0][1]] * len(prompts))
+        variants = [encode([t] * len(prompts)) for _, t in sched]
+        idx = np.zeros(p.steps, np.int32)
+        start = 0
+        for vi, (end, _) in enumerate(sched):
+            idx[start:end] = vi
+            start = end
+        return {
+            k: PerStep(jnp.stack([variants[i][k] for i in idx]))
+            for k in variants[0]
+        }
+
+    conds = [encode_scheduled(text) for text, _ in parts]
+    if len(conds) == 1:
+        return conds[0], None, None
+    return conds[0], conds[1:], weights
+
+
 def _auto_schedule(sampler_name: str, scheduler: str) -> str:
     if scheduler and scheduler != "automatic":
         return scheduler
@@ -122,9 +159,14 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
     sig_hash = hashlib.md5(np.asarray(sigmas, np.float32).tobytes()).hexdigest()[:12]
     # params enter the jitted fn as traced arguments, so LoRA-patched trees
     # (same structure) reuse the same executable — key on family, not identity
+    from ..sampling.cfg import PerStep
+
+    branches = getattr(p, "_cond_branches", None) or []
+    weights = tuple(getattr(p, "_branch_weights", None) or ())
     return (
         "sample", kind, engine.family, p.sampler_name, sig_hash, shape,
         skip_uncond, bool(p.s_churn), p.eta, p.cfg_rescale,
+        len(branches), weights,
     )
 
 
@@ -170,7 +212,9 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
     apply_raw = engine.unet_apply_fn(hooks=p.unet_hooks, controlnets=p.controlnets)
     predictor = engine.predictor
 
-    def fn(unet_params, x, noise, cond, uncond, cfg_scale, mask, init_latent):
+    branch_weights = getattr(p, "_branch_weights", None)
+
+    def fn(unet_params, x, noise, cond, uncond, branches, cfg_scale, mask, init_latent):
         # σ values are compile-time constants (host numpy): samplers fold them
         # and LMS/ipndm/deis derive host-side integration coefficients.
         sigmas = sigmas_np
@@ -180,6 +224,9 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
         model_fn = cfg_mod.make_cfg_model_fn(
             apply_model, cond, None if skip_uncond else uncond,
             cfg_scale, cfg_rescale=p.cfg_rescale,
+            sigmas_np=sigmas_np,
+            cond_branches=branches or None,
+            branch_weights=branch_weights,
         )
         if masked:
             model_fn = cfg_mod.make_masked_model_fn(model_fn, mask, init_latent, predictor)
@@ -262,12 +309,13 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             max_chunks = max(mc_pos, mc_neg)
         else:
             max_chunks = 1
-        cond = engine.get_learned_conditioning(
-            prompts, p.width, p.height, max_chunks=max_chunks
+        cond, branches, weights = _build_scheduled_cond(
+            engine, p, prompts, max_chunks=max_chunks
         )
-        uncond = engine.get_learned_conditioning(
-            negs, p.width, p.height, is_negative=True, max_chunks=max_chunks
+        uncond, _, _ = _build_scheduled_cond(
+            engine, p, negs, max_chunks=max_chunks, is_negative=True, allow_and=False
         )
+        p._cond_branches, p._branch_weights = branches, weights
         if engine.family in ("flux", "chroma"):
             g = jnp.full((p.batch_size,), p.distilled_cfg_scale, jnp.float32)
             cond = dict(cond, guidance=g)
@@ -358,9 +406,10 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
     zero = jnp.zeros((), jnp.float32)
     mask_in = zero if mask is None else mask
     init_in = zero if init_latent is None else init_latent
+    branches = getattr(p, "_cond_branches", None) or []
     return fn(
         engine.loaded.unet if unet_params is None else unet_params, x, noise,
-        cond, uncond, jnp.asarray(p.cfg_scale, jnp.float32), mask_in, init_in,
+        cond, uncond, branches, jnp.asarray(p.cfg_scale, jnp.float32), mask_in, init_in,
     )
 
 

@@ -18,6 +18,8 @@ from typing import Any, Callable, Dict, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
 
 
 def make_apply_model(
@@ -42,6 +44,35 @@ def make_apply_model(
     return apply
 
 
+class PerStep:
+    """Step-scheduled conditioning: `array` has a leading [n_steps] axis and
+    the active slice is selected by the current σ's position in the schedule
+    (prompt editing `[a:b:N]`, reference prompt_parser.py:294-384 — here the
+    per-step conds are precomputed and indexed inside the compiled loop)."""
+
+    def __init__(self, array):
+        self.array = array
+
+
+jax.tree_util.register_pytree_node(
+    PerStep,
+    lambda ps: ((ps.array,), None),
+    lambda aux, children: PerStep(children[0]),
+)
+
+
+def _select_cond(cond: Mapping[str, Any], sigma, sigmas_np) -> Mapping[str, Any]:
+    if sigmas_np is None or not any(isinstance(v, PerStep) for v in cond.values()):
+        return {k: (v.array[0] if isinstance(v, PerStep) else v) for k, v in cond.items()}
+    table = jnp.asarray(-np.asarray(sigmas_np[:-1], np.float32))
+    idx = jnp.clip(jnp.searchsorted(table, -sigma, side="right") - 1, 0, len(sigmas_np) - 2)
+    return {
+        k: (jax.lax.dynamic_index_in_dim(v.array, idx, axis=0, keepdims=False)
+            if isinstance(v, PerStep) else v)
+        for k, v in cond.items()
+    }
+
+
 def make_cfg_model_fn(
     apply_model: Callable,
     cond: Mapping[str, Any],
@@ -50,6 +81,9 @@ def make_cfg_model_fn(
     cfg_rescale: float = 0.0,
     pre_cfg_hooks: Sequence[Callable] = (),
     post_cfg_hooks: Sequence[Callable] = (),
+    sigmas_np=None,
+    cond_branches: Optional[Sequence[Mapping[str, Any]]] = None,
+    branch_weights: Optional[Sequence[float]] = None,
 ) -> Callable:
     """Build model_fn(x, σ) for the samplers.
 
@@ -57,19 +91,49 @@ def make_cfg_model_fn(
     to x's batch (e.g. {"context": [B,L,D], "y": [B,adm]}). Passing uncond=None
     skips the uncond branch entirely (reference skip-uncond at cfg==1, :295);
     cfg_scale itself may be a traced value so changing it never recompiles.
+    Values may be PerStep (prompt editing); `cond_branches` adds AND-composable
+    extra branches combined as uncond + cfg·Σ wᵢ(condᵢ − uncond)
+    (reference prompt_parser AND semantics, :210-268).
     """
     skip_uncond = uncond is None
 
+    if cond_branches:
+        branches = [cond] + list(cond_branches)
+        weights = list(branch_weights or [1.0] * len(branches))
+
+        def model_fn_multi(x, sigma):
+            sel = [_select_cond(c, sigma, sigmas_np) for c in branches]
+            sel_un = _select_cond(uncond, sigma, sigmas_np) if uncond else None
+            alln = sel + ([sel_un] if sel_un else [])
+            both = {k: jnp.concatenate([c[k] for c in alln], axis=0) for k in alln[0]}
+            xn = jnp.concatenate([x] * len(alln), axis=0)
+            out = apply_model(xn, sigma, both)
+            outs = jnp.split(out, len(alln), axis=0)
+            if sel_un is not None:
+                eps_un = outs[-1]
+                combo = eps_un
+                for w, eps_c in zip(weights, outs[:-1]):
+                    combo = combo + cfg_scale * w * (eps_c - eps_un)
+                return combo
+            combo = jnp.zeros_like(outs[0])
+            total = sum(weights)
+            for w, eps_c in zip(weights, outs):
+                combo = combo + (w / total) * eps_c
+            return combo
+
+        return model_fn_multi
+
     def model_fn(x, sigma):
+        cond_s = _select_cond(cond, sigma, sigmas_np)
+        uncond_s = _select_cond(uncond, sigma, sigmas_np) if uncond is not None else None
         if skip_uncond:
-            denoised = apply_model(x, sigma, cond)
+            denoised = apply_model(x, sigma, cond_s)
             x0 = denoised
             eps_cond, eps_uncond = denoised, denoised
         else:
             both = {}
-            for key in cond:
-                c, u = cond[key], uncond[key]
-                both[key] = jnp.concatenate([c, u], axis=0)
+            for key in cond_s:
+                both[key] = jnp.concatenate([cond_s[key], uncond_s[key]], axis=0)
             x2 = jnp.concatenate([x, x], axis=0)
             out = apply_model(x2, sigma, both)
             eps_cond, eps_uncond = jnp.split(out, 2, axis=0)

@@ -100,3 +100,20 @@ def test_infotext_contains_params(engine):
     assert "CFG scale: 3.5" in text
     assert "Seed: 42" in text
     assert p.prompt in text
+
+
+def test_prompt_editing_schedule(engine):
+    static_a = process_images(engine, _p(prompt="a photo of a cat", steps=4)).images[0]
+    edited = process_images(engine, _p(prompt="a photo of a [cat:dog:0.5]", steps=4)).images[0]
+    static_d = process_images(engine, _p(prompt="a photo of a dog", steps=4)).images[0]
+    # the edited run differs from both pure runs
+    assert not np.array_equal(edited, static_a)
+    assert not np.array_equal(edited, static_d)
+
+
+def test_and_composition(engine):
+    r = process_images(engine, _p(prompt="a cat AND a dog:0.5", steps=3))
+    assert r.images[0].shape == (32, 32, 3)
+    assert np.isfinite(r.images[0].astype(np.float32)).all()
+    single = process_images(engine, _p(prompt="a cat", steps=3)).images[0]
+    assert not np.array_equal(r.images[0], single)
