@@ -87,7 +87,10 @@ def guess(sd: Mapping[str, np.ndarray]) -> GuessResult:
             context_dim=context_dim,
         )
 
-    if ctx is not None and ctx[1] == 1024:
+    is_sd2 = (ctx is not None and ctx[1] == 1024) or any(
+        k.startswith("cond_stage_model.model.") for k in keys
+    )
+    if is_sd2:
         # SD2.x. v-prediction cannot be sniffed from shapes; 768-v checkpoints
         # are detected by their global ztsnr marker or overridden by the user.
         pred = "v" if "ztsnr" in keys or "v_pred" in keys else "eps"

@@ -456,3 +456,42 @@ def synth_t5_sd(
         sd[b + "1.layer_norm.weight"] = f.ones(width)
     sd[prefix + "encoder.final_layer_norm.weight"] = f.ones(width)
     return sd
+
+
+def synth_chroma_sd(
+    hidden: int = 3072,
+    num_heads: int = 24,
+    depth: int = 19,
+    depth_single: int = 38,
+    context_dim: int = 4096,
+    approx_hidden: int = 5120,
+    approx_layers: int = 5,
+    fill: str = "zeros",
+    seed: int = 8,
+    prefix: str = "model.diffusion_model.",
+):
+    """Chroma-format state dict: flux blocks minus per-block modulation lins,
+    plus the distilled_guidance_layer Approximator."""
+    sd = synth_flux_sd(hidden=hidden, num_heads=num_heads, depth=depth,
+                       depth_single=depth_single, context_dim=context_dim,
+                       pooled_dim=16, guidance=False, fill=fill, seed=seed,
+                       prefix=prefix)
+    # strip flux-only modulation/vector/time paths
+    for k in list(sd):
+        if any(t in k for t in ("img_mod.lin", "txt_mod.lin", "modulation.lin",
+                                 "time_in.", "vector_in.", "adaLN_modulation")):
+            del sd[k]
+    f = _Fill(fill, seed + 1)
+    mod_len = depth * 12 + depth_single * 3 + 2
+    g = prefix + "distilled_guidance_layer."
+    sd[g + "in_proj.weight"] = f.w(approx_hidden, 64)
+    sd[g + "in_proj.bias"] = f.zeros(approx_hidden)
+    for i in range(approx_layers):
+        sd[g + f"layers.{i}.in_layer.weight"] = f.w(approx_hidden, approx_hidden)
+        sd[g + f"layers.{i}.in_layer.bias"] = f.zeros(approx_hidden)
+        sd[g + f"layers.{i}.out_layer.weight"] = f.w(approx_hidden, approx_hidden)
+        sd[g + f"layers.{i}.out_layer.bias"] = f.zeros(approx_hidden)
+        sd[g + f"norms.{i}.scale"] = f.ones(approx_hidden)
+    sd[g + "out_proj.weight"] = f.w(hidden, approx_hidden)
+    sd[g + "out_proj.bias"] = f.zeros(hidden)
+    return sd

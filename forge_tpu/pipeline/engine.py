@@ -281,7 +281,19 @@ class DiffusionEngine:
     # -- nets ---------------------------------------------------------------
 
     def unet_apply_fn(self, hooks=None, control=None, controlnets=None):
-        if self.family in ("flux", "chroma"):
+        if self.family == "chroma":
+            from ..models import chroma as chroma_mod
+
+            ccfg = self.flux_cfg
+
+            def apply_chroma(params, x, t, context, y=None, guidance=None):
+                return chroma_mod.chroma_apply(
+                    params, x, t, context, y=y, guidance=guidance, cfg=ccfg
+                )
+
+            return apply_chroma
+
+        if self.family == "flux":
             from ..models import flux as flux_mod
 
             fcfg = self.flux_cfg

@@ -77,3 +77,22 @@ def test_t5_relative_buckets():
     assert b[0, 0] == 0
     # symmetric distances land in distinct direction buckets
     assert b[0, 1] != b[1, 0]
+
+
+def test_chroma_forward_and_guess():
+    from forge_tpu.core.synth import synth_chroma_sd
+    from forge_tpu.models.chroma import chroma_apply
+    from forge_tpu.models.flux import FluxConfig
+
+    sd = synth_chroma_sd(hidden=64, num_heads=4, depth=2, depth_single=2,
+                         context_dim=32, approx_hidden=64, approx_layers=2,
+                         fill="random")
+    g = guess_mod.guess(sd)
+    assert g.family == "chroma"
+
+    params = _nested(sd, "model.diffusion_model.")
+    cfg = FluxConfig(num_heads=4, axes_dim=(4, 6, 6), guidance_embed=False)
+    out = chroma_apply(params, jnp.ones((1, 8, 8, 16)), jnp.asarray([500.0]),
+                       jnp.ones((1, 12, 32)), cfg=cfg)
+    assert out.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
