@@ -106,6 +106,10 @@ class Api:
             ("POST", "/sdapi/v1/reload-checkpoint"): self.reload_checkpoint,
             ("GET", "/sdapi/v1/scripts"): lambda q, b: {"txt2img": [], "img2img": []},
             ("GET", "/sdapi/v1/script-info"): lambda q, b: [],
+            ("POST", "/sdapi/v1/interrogate"): self.interrogate,
+            ("POST", "/sdapi/v1/server-stop"): self.server_stop,
+            ("POST", "/sdapi/v1/server-restart"): self.server_stop,
+            ("POST", "/sdapi/v1/server-kill"): self.server_stop,
             ("GET", "/internal/ping"): lambda q, b: {},
             ("GET", "/"): self.index,
             ("GET", "/internal/sysinfo"): self.sysinfo,
@@ -330,6 +334,24 @@ class Api:
 
         return _RawResponse(INDEX_HTML, "text/html; charset=utf-8")
 
+    def interrogate(self, query, body):
+        # BLIP/CLIP interrogators need their vendored model zoo (round 2)
+        return {"caption": "", "detail": "interrogate models not installed"}
+
+    def server_stop(self, query, body):
+        import threading
+
+        threading.Thread(target=self._shutdown, daemon=True).start()
+        return {}
+
+    def _shutdown(self):
+        import time as _t
+
+        _t.sleep(0.2)
+        server = getattr(self, "_server", None)
+        if server is not None:
+            server.shutdown()
+
     def sysinfo(self, query, body):
         import platform
 
@@ -412,6 +434,7 @@ def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 786
     handler = type("BoundHandler", (_Handler,), {"api": api})
     server = ThreadingHTTPServer((host, port), handler)
     server.api = api
+    api._server = server
     return server
 
 

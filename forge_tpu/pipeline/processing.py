@@ -364,10 +364,7 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
 def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array) -> np.ndarray:
     t0 = time.time()
-    imgs = engine.decode_first_stage(latent)
-    imgs = np.asarray(imgs.astype(jnp.float32))
-    imgs = np.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
-    out = (imgs * 255.0 + 0.5).astype(np.uint8)
+    out = np.asarray(engine.decode_to_uint8(latent))
     _PHASE["decode"] = time.time() - t0
     return out
 
@@ -461,10 +458,22 @@ def _latent_upscale(latent: jax.Array, scale: float) -> jax.Array:
 
 
 def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=None):
-    """Hires-fix second pass (reference processing.py:1430 sample_hr_pass),
-    latent-space upscale variant."""
+    """Hires-fix second pass (reference processing.py:1430 sample_hr_pass):
+    'Latent' mode interpolates in latent space; any other upscaler name
+    decodes, upscales in pixel space (GAN/Lanczos), and re-encodes."""
     info = get_sampler(p.sampler_name)
-    latent = _latent_upscale(latent, p.hr_scale)
+    if p.hr_upscaler and p.hr_upscaler != "Latent":
+        from .upscalers import UpscalerRegistry
+
+        registry = getattr(engine, "upscalers", None) or UpscalerRegistry()
+        imgs = np.asarray(engine.decode_to_uint8(latent))
+        ups = np.stack([
+            np.asarray(registry.get(p.hr_upscaler).upscale(img, p.hr_scale))
+            for img in imgs
+        ]).astype(np.float32) / 255.0 * 2.0 - 1.0
+        latent = engine.encode_first_stage(jnp.asarray(ups)).astype(jnp.float32)
+    else:
+        latent = _latent_upscale(latent, p.hr_scale)
     b, h8, w8, lc = latent.shape
 
     steps = p.hr_second_pass_steps or p.steps

@@ -117,3 +117,10 @@ def test_and_composition(engine):
     assert np.isfinite(r.images[0].astype(np.float32)).all()
     single = process_images(engine, _p(prompt="a cat", steps=3)).images[0]
     assert not np.array_equal(r.images[0], single)
+
+
+def test_hires_pixel_upscaler(engine):
+    r = process_images(engine, _p(enable_hr=True, hr_scale=2.0, steps=2,
+                                  hr_upscaler="Lanczos"))
+    assert r.images[0].shape == (64, 64, 3)
+    assert np.isfinite(r.images[0].astype(np.float32)).all()
