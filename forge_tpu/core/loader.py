@@ -59,12 +59,54 @@ def convert_open_clip(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
 def _to_device_tree(sd: Mapping[str, np.ndarray], dtype) -> Dict[str, Any]:
     sd = transform_for_jax(sd)
 
-    def put(v: np.ndarray):
+    def put(v):
+        if isinstance(v, dict):  # prequantized (gguf/bnb) leaf
+            from ..ops.dequant_matmul import prepare_for_kernel
+
+            q = prepare_for_kernel(v) if len(v.get("shape", ())) == 2 else dict(v)
+            out = {"kind": q["kind"], "shape": tuple(q["shape"]),
+                   "codes": jnp.asarray(q["codes"]),
+                   "scales": jnp.asarray(np.asarray(q["scales"], np.float32))}
+            if "codes2d" in q:
+                out["codes2d"] = jnp.asarray(q["codes2d"])
+                out["scales2d"] = jnp.asarray(np.asarray(q["scales2d"], np.float32))
+            return out
         if v.dtype in (np.float64, np.float32, np.float16):
             return jnp.asarray(v, dtype=dtype)
         return jnp.asarray(v)
 
     return nest({k: put(v) for k, v in sd.items()})
+
+
+def _to_quantized_tree(sd: Mapping[str, np.ndarray], kind: str, dtype) -> Dict[str, Any]:
+    """Quantize the big matmul weights (host-side) into block formats with
+    the fused-kernel tile layout; everything else loads normally. The
+    runtime analog of the reference's on-load quantization modes
+    (modules_forge/main_entry.py unet storage dtype radio)."""
+    from ..ops import quant as quant_mod
+    from ..ops.dequant_matmul import prepare_for_kernel
+    from .tree import map_leaves
+
+    sd = transform_for_jax(sd)
+    nested = nest(dict(sd))
+
+    def visit(path, leaf):
+        arr = np.asarray(leaf)
+        if (arr.ndim == 2 and arr.size >= (1 << 16)
+                and not any(t in path for t in ("norm", "emb", "bias"))):
+            q = prepare_for_kernel(quant_mod.quantize(arr, kind))
+            out = {"kind": q["kind"], "shape": tuple(q["shape"]),
+                   "codes": jnp.asarray(q["codes"]),
+                   "scales": jnp.asarray(q["scales"])}
+            if "codes2d" in q:
+                out["codes2d"] = jnp.asarray(q["codes2d"])
+                out["scales2d"] = jnp.asarray(q["scales2d"])
+            return out
+        if arr.dtype in (np.float64, np.float32, np.float16):
+            return jnp.asarray(arr, dtype=dtype)
+        return jnp.asarray(arr)
+
+    return map_leaves(visit, nested)
 
 
 class LoadedCheckpoint:
@@ -85,6 +127,7 @@ def load_checkpoint_parts(
     vae_dtype=None,
     text_dtype=None,
     additional_modules: Optional[Dict[str, str]] = None,
+    unet_quant: Optional[str] = None,  # "nf4" | "q8_0" | "q4_0"
 ) -> LoadedCheckpoint:
     """Main entry: checkpoint path (or raw flat state dict) → components.
 
@@ -123,7 +166,10 @@ def load_checkpoint_parts(
                    for k, v in tsd.items()}
         text_encoders[name] = _to_device_tree(tsd, text_dtype)
 
-    unet = _to_device_tree(g.unet, dtype) if g.unet else None
+    if g.unet and unet_quant:
+        unet = _to_quantized_tree(g.unet, unet_quant, dtype)
+    else:
+        unet = _to_device_tree(g.unet, dtype) if g.unet else None
     vae = _to_device_tree(g.vae, vae_dtype) if g.vae else None
 
     return LoadedCheckpoint(g.family, g.prediction, g.context_dim, unet, vae, text_encoders)

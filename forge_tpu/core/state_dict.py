@@ -167,6 +167,12 @@ def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".safetensors") or path.endswith(".sft"):
         return load_safetensors(path)
+    if path.endswith(".gguf"):
+        from .gguf import load_gguf
+
+        sd = load_gguf(path)
+        sd.pop("__metadata__", None)
+        return sd
     return load_torch_ckpt(path)
 
 
@@ -191,9 +197,13 @@ def replace_prefix(sd: Mapping[str, Any], old: str, new: str) -> Dict[str, Any]:
 def transform_for_jax(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Transpose torch conv kernels OIHW → HWIO for NHWC convolution.
     Linear weights stay [out, in] (ops/nn.py contracts accordingly), so the
-    dotted key space remains byte-compatible with LoRA addressing."""
+    dotted key space remains byte-compatible with LoRA addressing.
+    Quantized leaf dicts (prequantized gguf/bnb payloads) pass through."""
     out = {}
     for k, v in sd.items():
+        if isinstance(v, dict):
+            out[k] = v
+            continue
         if v.ndim == 4:
             v = np.transpose(v, (2, 3, 1, 0))
         out[k] = v

@@ -30,6 +30,10 @@ def linear(x: jax.Array, p: Mapping[str, Any]) -> jax.Array:
     "online" quantized path (backend/operations.py:355-438)."""
     w = p["weight"]
     if isinstance(w, Mapping) and "kind" in w:
+        if "codes2d" in w:
+            from .dequant_matmul import linear_quantized
+
+            return linear_quantized(x, w, bias=p.get("bias"))
         from . import quant
 
         w = quant.dequantize(w, x.dtype)

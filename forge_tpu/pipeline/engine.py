@@ -432,6 +432,8 @@ class DiffusionEngine:
 
 
 def load_engine(path_or_sd, **kwargs) -> DiffusionEngine:
+    """kwargs pass through to load_checkpoint_parts (dtype, unet_quant=...)
+    and DiffusionEngine (tokenizer, embeddings_dir, compute_dtype)."""
     eng_kwargs = {k: kwargs.pop(k) for k in ("tokenizer", "embeddings_dir", "compute_dtype")
                   if k in kwargs}
     loaded = load_checkpoint_parts(path_or_sd, **kwargs)

@@ -75,6 +75,8 @@ class Processing:
     scripts: Optional[Any] = None            # ScriptRunner
     unet_hooks: Optional[Dict[str, Any]] = None
     controlnets: Optional[List[Any]] = None  # models.controlnet.ControlNetState
+    pre_cfg_hooks: Optional[List[Any]] = None   # fn(eps_c, eps_u, x, σ) pairs
+    post_cfg_hooks: Optional[List[Any]] = None  # fn(x0, eps_c, eps_u, x, σ)
 
 
 @dataclasses.dataclass
@@ -224,6 +226,8 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
         model_fn = cfg_mod.make_cfg_model_fn(
             apply_model, cond, None if skip_uncond else uncond,
             cfg_scale, cfg_rescale=p.cfg_rescale,
+            pre_cfg_hooks=tuple(p.pre_cfg_hooks or ()),
+            post_cfg_hooks=tuple(p.post_cfg_hooks or ()),
             sigmas_np=sigmas_np,
             cond_branches=branches or None,
             branch_weights=branch_weights,
@@ -382,6 +386,8 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
         mask is not None, progress,
         id(p.unet_hooks) if p.unet_hooks else None,
         id(p.controlnets) if p.controlnets else None,
+        id(p.post_cfg_hooks) if p.post_cfg_hooks else None,
+        id(p.pre_cfg_hooks) if p.pre_cfg_hooks else None,
     )
     if key not in engine._jit_cache:
         engine._jit_cache[key] = _build_sample_fn(

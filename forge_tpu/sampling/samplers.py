@@ -420,6 +420,51 @@ def sample_lms(model_fn: ModelFn, x, sigmas, noise=None, order: int = 4):
     return final["x"]
 
 
+def sample_heunpp2(model_fn: ModelFn, x, sigmas, noise=None, s_noise=1.0):
+    """Heun++ (MIT-licensed sd-webui-samplers-scheduler variant the reference
+    vendors): third probe direction on interior steps, σ-weighted blend."""
+    sig = np.asarray(sigmas, np.float32)
+    sigma0 = float(sig[0])
+    n = len(sig) - 1
+    sig_next2 = np.concatenate([sig[2:], [0.0]]).astype(np.float32)  # σ_{i+2}
+
+    def step(c, s):
+        sigma, sigma_next, sigma_next2 = s["sigma"], s["sigma_next"], s["sigma_next2"]
+        xx = c["x"]
+        denoised = model_fn(xx, sigma)
+        d = to_d(xx, sigma, denoised)
+        dt = sigma_next - sigma
+
+        x_euler = xx + d * dt
+
+        x_2 = xx + d * dt
+        denoised_2 = model_fn(x_2, jnp.maximum(sigma_next, 1e-8))
+        d_2 = to_d(x_2, jnp.maximum(sigma_next, 1e-8), denoised_2)
+
+        w2h = sigma_next / (2 * sigma0)
+        x_heun = xx + (d * (1 - w2h) + d_2 * w2h) * dt
+
+        dt_2 = sigma_next2 - sigma_next
+        x_3 = x_2 + d_2 * dt_2
+        denoised_3 = model_fn(x_3, jnp.maximum(sigma_next2, 1e-8))
+        d_3 = to_d(x_3, jnp.maximum(sigma_next2, 1e-8), denoised_3)
+        w2 = sigma_next / (3 * sigma0)
+        w3 = sigma_next2 / (3 * sigma0)
+        x_hpp = xx + ((1 - w2 - w3) * d + w2 * d_2 + w3 * d_3) * dt
+
+        xx = jnp.where(sigma_next == 0, x_euler,
+                       jnp.where(sigma_next2 == 0, x_heun, x_hpp))
+        return {"x": xx}
+
+    def body(carry, step_in):
+        return step(carry, step_in), None
+
+    xs = {"sigma": jnp.asarray(sig[:-1]), "sigma_next": jnp.asarray(sig[1:]),
+          "sigma_next2": jnp.asarray(sig_next2[: n])}
+    final, _ = jax.lax.scan(body, {"x": x}, xs)
+    return final["x"]
+
+
 # ---------------------------------------------------------------------------
 # Adams-Bashforth multistep (ipndm family)
 
@@ -595,6 +640,7 @@ SAMPLERS: Dict[str, SamplerInfo] = {
     "DPM++ 3M SDE": SamplerInfo(sample_dpmpp_3m_sde, 1, brownian_noise=True, aliases=("k_dpmpp_3m_sde", "dpmpp_3m_sde")),
     "LCM": SamplerInfo(sample_lcm, 1, uses_ensd=True, aliases=("lcm",)),
     "DDIM": SamplerInfo(sample_ddim, 0, aliases=("ddim",)),
+    "Heun++2": SamplerInfo(sample_heunpp2, 0, second_order=True, aliases=("heunpp2", "k_heunpp2")),
     "ipndm": SamplerInfo(sample_ipndm, 0, aliases=("k_ipndm",)),
     "ipndm_v": SamplerInfo(sample_ipndm_v, 0, aliases=("k_ipndm_v",)),
     "DDPM": SamplerInfo(sample_ddpm, 1, uses_ensd=True, aliases=("ddpm",)),

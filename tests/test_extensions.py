@@ -142,3 +142,31 @@ def test_memory_plan():
     small = plan_generation(batch=1, height=512, width=512,
                             weight_bytes=2 << 30, free_bytes=12 << 30)
     assert small.batch_chunk == 1 and not small.tiled_vae
+
+
+def test_sag_changes_output(engine):
+    from forge_tpu.extensions.sag import build_sag
+
+    base = process_images(engine, Processing(prompt="cat", seed=6, steps=2,
+                                             width=32, height=32)).images[0]
+    cond = engine.get_learned_conditioning(["cat"], 32, 32)
+    hooks, post_cfg = build_sag(engine, cond, sag_scale=1.0)
+    p = Processing(prompt="cat", seed=6, steps=2, width=32, height=32,
+                   unet_hooks=hooks, post_cfg_hooks=[post_cfg])
+    out = process_images(engine, p).images[0]
+    assert not np.array_equal(base, out)
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_pag_changes_output(engine):
+    from forge_tpu.extensions.pag import build_pag_post_cfg
+
+    base = process_images(engine, Processing(prompt="cat", seed=8, steps=2,
+                                             width=32, height=32)).images[0]
+    cond = engine.get_learned_conditioning(["cat"], 32, 32)
+    post_cfg = build_pag_post_cfg(engine, cond, pag_scale=2.0)
+    p = Processing(prompt="cat", seed=8, steps=2, width=32, height=32,
+                   post_cfg_hooks=[post_cfg])
+    out = process_images(engine, p).images[0]
+    assert not np.array_equal(base, out)
+    assert np.isfinite(out.astype(np.float32)).all()

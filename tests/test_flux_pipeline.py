@@ -54,3 +54,14 @@ def test_flux_txt2img(engine):
     assert np.isfinite(r.images[0].astype(np.float32)).all()
     r2 = process_images(engine, p)
     assert np.array_equal(r.images[0], r2.images[0])
+
+
+def test_flux_quantized_txt2img():
+    """Quantized-unet loading path (block formats + online dequant)."""
+    eng = load_engine(_tiny_flux_checkpoint(), dtype=jnp.float32, unet_quant="q8_0")
+    eng.flux_cfg = FluxConfig(num_heads=4, axes_dim=(4, 6, 6), guidance_embed=True)
+    p = Processing(prompt="a red fox", seed=3, steps=2, width=32, height=32,
+                   cfg_scale=1.0, sampler_name="Euler", scheduler="simple")
+    r = process_images(eng, p)
+    assert r.images[0].shape == (32, 32, 3)
+    assert np.isfinite(r.images[0].astype(np.float32)).all()
