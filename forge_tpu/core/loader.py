@@ -61,16 +61,20 @@ def _to_device_tree(sd: Mapping[str, np.ndarray], dtype) -> Dict[str, Any]:
 
     def put(v):
         if isinstance(v, dict):  # prequantized (gguf/bnb) leaf
+            from ..ops import quant as quant_mod
             from ..ops.dequant_matmul import prepare_for_kernel
 
             q = prepare_for_kernel(v) if len(v.get("shape", ())) == 2 else dict(v)
-            out = {"kind": q["kind"], "shape": tuple(q["shape"]),
-                   "codes": jnp.asarray(q["codes"]),
-                   "scales": jnp.asarray(np.asarray(q["scales"], np.float32))}
             if "codes2d" in q:
-                out["codes2d"] = jnp.asarray(q["codes2d"])
-                out["scales2d"] = jnp.asarray(np.asarray(q["scales2d"], np.float32))
-            return out
+                return quant_mod.QuantTensor(
+                    q["kind"], q["shape"], None, None,
+                    jnp.asarray(q["codes2d"]),
+                    jnp.asarray(np.asarray(q["scales2d"], np.float32)),
+                )
+            return quant_mod.QuantTensor(
+                q["kind"], q["shape"], jnp.asarray(q["codes"]),
+                jnp.asarray(np.asarray(q["scales"], np.float32)),
+            )
         if v.dtype in (np.float64, np.float32, np.float16):
             return jnp.asarray(v, dtype=dtype)
         return jnp.asarray(v)
@@ -95,13 +99,16 @@ def _to_quantized_tree(sd: Mapping[str, np.ndarray], kind: str, dtype) -> Dict[s
         if (arr.ndim == 2 and arr.size >= (1 << 16)
                 and not any(t in path for t in ("norm", "emb", "bias"))):
             q = prepare_for_kernel(quant_mod.quantize(arr, kind))
-            out = {"kind": q["kind"], "shape": tuple(q["shape"]),
-                   "codes": jnp.asarray(q["codes"]),
-                   "scales": jnp.asarray(q["scales"])}
-            if "codes2d" in q:
-                out["codes2d"] = jnp.asarray(q["codes2d"])
-                out["scales2d"] = jnp.asarray(q["scales2d"])
-            return out
+            if "codes2d" in q:  # kernel layout only — no duplicate flat copy
+                return quant_mod.QuantTensor(
+                    q["kind"], q["shape"], None, None,
+                    jnp.asarray(q["codes2d"]),
+                    jnp.asarray(np.asarray(q["scales2d"], np.float32)),
+                )
+            return quant_mod.QuantTensor(
+                q["kind"], q["shape"], jnp.asarray(q["codes"]),
+                jnp.asarray(np.asarray(q["scales"], np.float32)),
+            )
         if arr.dtype in (np.float64, np.float32, np.float16):
             return jnp.asarray(arr, dtype=dtype)
         return jnp.asarray(arr)

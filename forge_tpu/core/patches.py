@@ -215,6 +215,13 @@ def apply_patches(
         w = get_path(out, key)
         if w is None:
             continue
+        from ..ops.quant import is_quantized
+
+        if is_quantized(w):
+            # online (in-forward) LoRA over quantized weights lands with the
+            # fused-kernel epilogue in a later round; skip with a notice
+            print(f"lora: skipping quantized weight {key}")
+            continue
         hwio = w.ndim == 4
         new_w = w.astype(jnp.float32)
         for patch, strength in plist:

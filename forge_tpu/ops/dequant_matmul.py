@@ -81,8 +81,10 @@ def _expand_scales(scales, tn, tk, block):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _kernel_q8(x_ref, codes_ref, scales_ref, o_ref, acc_ref, *, block):
-    """grid (m, n, k): o[m,n] += x[m,k_blk] @ dequant(w[n,k_blk]).T"""
+def _kernel_q8(x_ref, codes_ref, scalesT_ref, o_ref, acc_ref, *, block):
+    """grid (m, n, k): acc += x[m,k] @ dequant(w[n,k]).T. Scales arrive
+    TRANSPOSED ([k/block, n] tiles are lane-legal where [n, k/block] is not)
+    and are transposed back in VMEM."""
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -90,26 +92,30 @@ def _kernel_q8(x_ref, codes_ref, scales_ref, o_ref, acc_ref, *, block):
     codes = codes_ref[...]  # [TN, TK] uint8 (int8 payload)
     w = pltpu.bitcast(codes, jnp.int8).astype(jnp.float32)
     tn, tk = codes.shape
-    w = w * _expand_scales(scales_ref[...], tn, tk, block)
+    scales = scalesT_ref[...].T  # [TK/block, TN] → [TN, TK/block]
+    w = w * _expand_scales(scales, tn, tk, block)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _out():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _kernel_4bit(x_ref, codes_ref, scales_ref, o_ref, acc_ref, *, block, table):
+def _kernel_4bit(x_ref, codes_ref, scalesT_ref, o_ref, acc_ref, *, block, table):
+    """grid (m, n, k) with TK == PACK_GROUP (half-pack layout: within the
+    group, hi nibbles are source cols [0,256), lo are [256,512))."""
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = codes_ref[...]  # [TN, TK/2] u8, half-pack layout (see header)
-    p32 = packed.astype(jnp.int32)  # u8 shifts don't legalize; widen first
-    hi = (p32 >> 4).astype(jnp.float32)  # cols [0, TK/2)
-    lo = (p32 & 0xF).astype(jnp.float32)  # cols [TK/2, TK)
+    packed = codes_ref[...]  # [TN, PACK_GROUP/2] u8
     tn = packed.shape[0]
-    tk = packed.shape[1] * 2
-    if table is not None:  # NF4 codebook as a 16-way select chain (VPU)
+    p32 = packed.astype(jnp.int32)  # u8 shifts don't legalize; widen
+    hi = (p32 >> 4).astype(jnp.float32)
+    lo = (p32 & 0xF).astype(jnp.float32)
+    if table is not None:
         tbl = [float(v) for v in np.asarray(table)]
 
         def lut(v):
@@ -118,18 +124,19 @@ def _kernel_4bit(x_ref, codes_ref, scales_ref, o_ref, acc_ref, *, block, table):
                 out = jnp.where(v == code, tbl[code], out)
             return out
 
-        hi = lut(hi)
-        lo = lut(lo)
-    else:  # Q4_0
-        hi = hi - 8.0
-        lo = lo - 8.0
+        hi, lo = lut(hi), lut(lo)
+    else:
+        hi, lo = hi - 8.0, lo - 8.0
     w = jnp.concatenate([hi, lo], axis=1)  # source order restored
-    w = w * _expand_scales(scales_ref[...], tn, tk, block)
+    scales = scalesT_ref[...].T  # [PG/block, TN] → [TN, PG/block]
+    w = w * _expand_scales(scales, tn, PACK_GROUP, block)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _out():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -158,6 +165,7 @@ def dequant_matmul(
 
     pack = 2 if kind in ("nf4", "q4_0") else 1
     grid = (m_pad // tile_m, out_dim // tile_n, in_dim // tile_k)
+    scalesT = scales2d.T  # [in/block, out]: lane-legal tiling
 
     if kind == "q8_0":
         kernel = functools.partial(_kernel_q8, block=block)
@@ -173,7 +181,7 @@ def dequant_matmul(
         in_specs=[
             pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, tile_k // pack), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tile_k // block), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k // block, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, out_dim), x.dtype),
@@ -182,7 +190,7 @@ def dequant_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, codes2d, scales2d)
+    )(xp, codes2d, scalesT)
     return out[:m]
 
 

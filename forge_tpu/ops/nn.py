@@ -29,7 +29,9 @@ def linear(x: jax.Array, p: Mapping[str, Any]) -> jax.Array:
     block dicts, see ops/quant.py) dequantize on the fly — the reference's
     "online" quantized path (backend/operations.py:355-438)."""
     w = p["weight"]
-    if isinstance(w, Mapping) and "kind" in w:
+    from .quant import is_quantized
+
+    if is_quantized(w):
         if "codes2d" in w:
             from .dequant_matmul import linear_quantized
 

@@ -37,7 +37,56 @@ NF4_BLOCK = 64
 GGUF_BLOCK = 32
 
 
+class QuantTensor:
+    """Pytree-registered quantized weight: codes/scales are traced children,
+    (kind, shape) are static aux data — so quantized param trees flow through
+    jit/donation/sharding like ordinary arrays. Dict-style access keeps the
+    producer API (quantize() returns plain dicts) interchangeable."""
+
+    _FIELDS = ("codes", "scales", "codes2d", "scales2d")
+
+    def __init__(self, kind, shape, codes, scales, codes2d=None, scales2d=None):
+        self.kind = kind
+        self.shape = tuple(shape)
+        self.codes = codes
+        self.scales = scales
+        self.codes2d = codes2d
+        self.scales2d = scales2d
+
+    def __getitem__(self, key):
+        val = getattr(self, key)
+        if val is None:
+            raise KeyError(key)
+        return val
+
+    def __contains__(self, key):
+        return getattr(self, key, None) is not None
+
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+    @staticmethod
+    def from_dict(d: Mapping[str, Any]) -> "QuantTensor":
+        return QuantTensor(d["kind"], d["shape"], d["codes"], d["scales"],
+                           d.get("codes2d"), d.get("scales2d"))
+
+
+def _qt_flatten(qt: QuantTensor):
+    children = tuple(getattr(qt, f) for f in QuantTensor._FIELDS)
+    return children, (qt.kind, qt.shape)
+
+
+def _qt_unflatten(aux, children):
+    kind, shape = aux
+    return QuantTensor(kind, shape, *children)
+
+
+jax.tree_util.register_pytree_node(QuantTensor, _qt_flatten, _qt_unflatten)
+
+
 def is_quantized(leaf: Any) -> bool:
+    if isinstance(leaf, QuantTensor):
+        return True
     return isinstance(leaf, Mapping) and "kind" in leaf and "codes" in leaf
 
 
