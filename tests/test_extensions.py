@@ -170,3 +170,19 @@ def test_pag_changes_output(engine):
     out = process_images(engine, p).images[0]
     assert not np.array_equal(base, out)
     assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_xyz_grid(engine):
+    from forge_tpu.extensions.xyz_grid import Axis, run_xyz_grid
+
+    base = Processing(prompt="a cat", seed=1, steps=2, width=32, height=32)
+    grids = run_xyz_grid(
+        engine, base,
+        x_axis=Axis("seed", [1, 2]),
+        y_axis=Axis("cfg_scale", [3.0, 7.0]),
+        draw_legends=False,
+    )
+    assert len(grids) == 1
+    assert grids[0].shape == (64, 64, 3)
+    # different seeds along X produce different tiles
+    assert not np.array_equal(grids[0][:32, :32], grids[0][:32, 32:])
