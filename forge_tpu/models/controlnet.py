@@ -48,18 +48,7 @@ def controlnet_apply(
         emb = emb + v
 
     # input hint stack: conv/silu ladder downsampling 8× to latent resolution
-    hb = params["input_hint_block"]
-    guided = hint
-    n_hint = len(hb)
-    for i in range(n_hint):
-        key = str(i)
-        stride = 2 if hb[key]["weight"].shape[0] == 3 and False else 1
-        # strides in the ldm hint block: layers 2,4,6 (0-indexed convs) are stride 2;
-        # infer from spatial need instead: conv list is fixed 8 convs, strides at idx 3,5,7? —
-        # canonical cldm: convs at indices 0,2,4,6,8,10,12,14 with stride 2 at 2? Use shape-derived rule below.
-        guided = guided  # placeholder, replaced below
-
-    guided = _hint_stack(hb, hint)
+    guided = _hint_stack(params["input_hint_block"], hint)
 
     outs: List[jax.Array] = []
     h = x
@@ -121,6 +110,9 @@ class ControlNetState:
     start_percent: float = 0.0
     end_percent: float = 1.0
     cfg: UNetConfig = UNetConfig()
+    # stable content token for jit-cache keys (core/digest.py): set to the
+    # checkpoint hash + hint hash at load; None falls back to a slow walk
+    digest: Optional[str] = None
 
 
 def run_controlnets(

@@ -159,6 +159,11 @@ def dequant_matmul(
     m = x.shape[0]
     tile_m = min(tile_m, _round_up(m, 128))
     tile_n = min(tile_n, _round_up(out_dim, 128))
+    if out_dim % tile_n != 0:
+        # grid n-dim is out_dim//tile_n: a non-dividing tile would floor and
+        # leave the tail rows unwritten (e.g. 640-out cross-attn with 256
+        # tiles). out_dim%128==0 is guaranteed by linear_quantized's guard.
+        tile_n = 128
     tile_k = PACK_GROUP if kind in ("nf4", "q4_0") else min(tile_k, in_dim)
     m_pad = _round_up(m, tile_m)
     xp = jnp.pad(x, ((0, m_pad - m), (0, 0)))

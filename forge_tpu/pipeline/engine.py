@@ -113,12 +113,17 @@ class DiffusionEngine:
     def _build_predictor(self):
         fam, pred = self.family, self.loaded.prediction
         if fam in ("sd15", "sd20", "sdxl", "sdxl_refiner"):
-            return pred_mod.DiscretePrediction(prediction_type=pred)
-        if fam == "sd3":
-            return pred_mod.PredictionFlow(shift=3.0)
-        if fam in ("flux", "chroma"):
-            return pred_mod.PredictionFlux()
-        raise ValueError(fam)
+            predictor = pred_mod.DiscretePrediction(prediction_type=pred)
+        elif fam == "sd3":
+            predictor = pred_mod.PredictionFlow(shift=3.0)
+        elif fam in ("flux", "chroma"):
+            predictor = pred_mod.PredictionFlux()
+        else:
+            raise ValueError(fam)
+        # tag for family-keyed schedules (AYS anchor tables pick SD1.5 vs SDXL
+        # per model, reference modules/sd_schedulers.py:58-63)
+        predictor.family = fam
+        return predictor
 
     def _build_text_engines(self):
         tes = self.loaded.text_encoders

@@ -333,7 +333,7 @@ def sample_dpmpp_3m_sde(model_fn: ModelFn, x, sigmas, noise, eta=1.0, s_noise=1.
             d1_1 = (c["denoised_1"] - c["denoised_2"]) / r1
             d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
             d2 = (d1_0 - d1_1) / (r0 + r1)
-            phi_2 = -jnp.expm1(-h_eta) / h_eta + 1
+            phi_2 = jnp.expm1(-h_eta) / h_eta + 1
             phi_3 = phi_2 / h_eta - 0.5
             return xx + phi_2 * d1 - phi_3 * d2
 
@@ -341,7 +341,7 @@ def sample_dpmpp_3m_sde(model_fn: ModelFn, x, sigmas, noise, eta=1.0, s_noise=1.
             h_1 = c["h_1"]
             r = h_1 / h
             d = (denoised - c["denoised_1"]) / r
-            phi_2 = -jnp.expm1(-h_eta) / h_eta + 1
+            phi_2 = jnp.expm1(-h_eta) / h_eta + 1
             return xx + phi_2 * d
 
         have1 = c["h_1"] != 0.0

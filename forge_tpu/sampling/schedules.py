@@ -77,10 +77,37 @@ def kl_optimal(n, sigma_min, sigma_max, predictor=None):
     return _append_zero(sigmas)
 
 
-# Align-Your-Steps anchor tables (NVIDIA AYS, public):
-_AYS_SD15 = [14.615, 6.315, 3.771, 2.181, 1.342, 0.862, 0.555, 0.380, 0.234, 0.113, 0.029]
+# Align-Your-Steps anchor tables (NVIDIA AYS; reference
+# modules/sd_schedulers.py:44-70 selects SDXL vs SD1.5 per-model at :60-63):
+_AYS_SD15 = [14.615, 6.475, 3.861, 2.697, 1.886, 1.396, 0.963, 0.652, 0.399, 0.152, 0.029]
 _AYS_SDXL = [14.615, 6.315, 3.771, 2.181, 1.342, 0.862, 0.555, 0.380, 0.234, 0.113, 0.029]
-_AYS_SD15_REAL = [14.615, 9.473, 6.500, 4.003, 2.437, 1.531, 0.978, 0.643, 0.436, 0.284, 0.175, 0.107, 0.058, 0.029]
+# GITS variants (reference sd_schedulers.py:137-162):
+_AYS_GITS_SD15 = [14.615, 4.617, 2.507, 1.236, 0.702, 0.402, 0.240, 0.156, 0.104, 0.094, 0.029]
+_AYS_GITS_SDXL = [14.615, 4.734, 2.567, 1.529, 0.987, 0.652, 0.418, 0.268, 0.179, 0.127, 0.029]
+# 32-anchor tables (reference sd_schedulers.py:190-210):
+_AYS_32_SD15 = [
+    14.615, 11.23951352, 8.64363081, 6.64729424, 5.57250862, 4.71648546,
+    3.99196065, 3.5195609, 3.13490466, 2.79228788, 2.48773628, 2.21663865,
+    1.97508351, 1.7793172, 1.61475335, 1.46540953, 1.314849, 1.16642497,
+    1.03475547, 0.91573744, 0.80748169, 0.71202361, 0.621739, 0.53065202,
+    0.4529096, 0.37491455, 0.27461819, 0.2011529, 0.14105873, 0.06682881,
+    0.03166121, 0.015,
+]
+_AYS_32_SDXL = [
+    14.615, 11.1491618, 8.50522127, 6.48827151, 5.43707402, 4.60398619,
+    3.89854704, 3.27407457, 2.74396527, 2.29968659, 1.95448514, 1.67108715,
+    1.42878152, 1.23181009, 1.06789649, 0.92579443, 0.80290886, 0.69660121,
+    0.60436903, 0.52852552, 0.46773344, 0.41393379, 0.36258186, 0.31008517,
+    0.26518925, 0.22326461, 0.17653877, 0.13959192, 0.10587381, 0.05519369,
+    0.02877334, 0.015,
+]
+
+
+def _is_xl_like(predictor) -> bool:
+    """AYS anchor choice: reference keys on is_sdxl; everything non-SD1.5-like
+    (SDXL and larger) uses the SDXL table."""
+    fam = getattr(predictor, "family", None)
+    return fam in ("sdxl", "sdxl_refiner", "sd3", "flux", "chroma")
 
 
 def _loglinear_interp(t_steps, num_steps):
@@ -92,8 +119,7 @@ def _loglinear_interp(t_steps, num_steps):
     return np.exp(new_ys)[::-1].copy()
 
 
-def align_your_steps(n, sigma_min, sigma_max, predictor=None, anchors=None):
-    anchors = anchors or _AYS_SD15
+def _ays(n, anchors):
     if n != len(anchors):
         sigmas = _loglinear_interp(anchors, n)
     else:
@@ -101,13 +127,20 @@ def align_your_steps(n, sigma_min, sigma_max, predictor=None, anchors=None):
     return _append_zero(sigmas)
 
 
-def align_your_steps_11(n, sigma_min, sigma_max, predictor=None):
-    # preset anchor list resampled to the requested step count
-    return align_your_steps(n, sigma_min, sigma_max, predictor, anchors=_AYS_SD15)
+def align_your_steps(n, sigma_min, sigma_max, predictor=None):
+    return _ays(n, _AYS_SDXL if _is_xl_like(predictor) else _AYS_SD15)
+
+
+def align_your_steps_gits(n, sigma_min, sigma_max, predictor=None):
+    return _ays(n, _AYS_GITS_SDXL if _is_xl_like(predictor) else _AYS_GITS_SD15)
+
+
+# _11/_32 are the same tables at fixed anchor counts (reference :164-210)
+align_your_steps_11 = align_your_steps
 
 
 def align_your_steps_32(n, sigma_min, sigma_max, predictor=None):
-    return align_your_steps(n, sigma_min, sigma_max, predictor, anchors=_AYS_SD15_REAL)
+    return _ays(n, _AYS_32_SDXL if _is_xl_like(predictor) else _AYS_32_SD15)
 
 
 def beta_schedule(n, sigma_min, sigma_max, predictor=None, alpha: float = 0.6, beta: float = 0.6):
@@ -137,6 +170,7 @@ SCHEDULES: Dict[str, Callable] = {
     "sgm_uniform": sgm_uniform,
     "kl_optimal": kl_optimal,
     "align_your_steps": align_your_steps,
+    "align_your_steps_GITS": align_your_steps_gits,
     "align_your_steps_11": align_your_steps_11,
     "align_your_steps_32": align_your_steps_32,
     "simple": simple,

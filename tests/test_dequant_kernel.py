@@ -37,3 +37,21 @@ def test_fallback_for_unaligned():
     out = np.asarray(linear_quantized(jnp.asarray(x), q))
     ref = x @ np.asarray(quant.dequantize(q, jnp.float32)).T
     assert np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9) < 2e-2
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "nf4"])
+def test_non_divisible_out_dim(kind):
+    """out_dim 640 (SD2/SDXL 640-ch cross-attn): %128==0 but %256!=0 — the
+    n-grid must not floor and leave rows 512..639 unwritten (ADVICE r1)."""
+    rng = np.random.default_rng(2)
+    w = (rng.standard_normal((640, 512)) * 0.3).astype(np.float32)
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    q = prepare_for_kernel(quant.quantize(w, kind))
+    leaf = {**q, "codes2d": jnp.asarray(q["codes2d"]), "scales2d": jnp.asarray(q["scales2d"])}
+    out = np.asarray(linear_quantized(jnp.asarray(x), leaf))
+    ref = x @ np.asarray(quant.dequantize(q, jnp.float32)).T
+    rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, (kind, rel)
+    # specifically the tail rows past 512:
+    tail = np.abs(ref[:, 512:] - out[:, 512:]).max() / (np.abs(ref).max() + 1e-9)
+    assert tail < 2e-2, (kind, tail)
