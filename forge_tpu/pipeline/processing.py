@@ -47,6 +47,7 @@ class Processing:
     batch_size: int = 1
     n_iter: int = 1
     eta: float = 1.0
+    eta_ddim: float = 0.0  # timestep samplers (DDIM/CFG++): reference eta_ddim
     s_churn: float = 0.0
     s_noise: float = 1.0
     clip_skip: int = 1
@@ -167,7 +168,8 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
     weights = tuple(getattr(p, "_branch_weights", None) or ())
     return (
         "sample", kind, engine.family, p.sampler_name, sig_hash, shape,
-        skip_uncond, float(p.s_churn), float(p.s_noise), p.eta, p.cfg_rescale,
+        skip_uncond, float(p.s_churn), float(p.s_noise), p.eta,
+        float(getattr(p, "eta_ddim", 0.0)), p.cfg_rescale,
         len(branches), weights,
     )
 
@@ -225,30 +227,36 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
         )
         model_fn = cfg_mod.make_cfg_model_fn(
             apply_model, cond, None if skip_uncond else uncond,
-            cfg_scale, cfg_rescale=p.cfg_rescale,
+            cfg_scale * info.cfg_multiplier, cfg_rescale=p.cfg_rescale,
             pre_cfg_hooks=tuple(p.pre_cfg_hooks or ()),
             post_cfg_hooks=tuple(p.post_cfg_hooks or ()),
             sigmas_np=sigmas_np,
             cond_branches=branches or None,
             branch_weights=branch_weights,
+            return_uncond=info.needs_uncond,
         )
         if masked:
-            model_fn = cfg_mod.make_masked_model_fn(model_fn, mask, init_latent, predictor)
+            if info.needs_uncond:
+                model_fn = cfg_mod.make_masked_pair_fn(model_fn, mask, init_latent)
+            else:
+                model_fn = cfg_mod.make_masked_model_fn(model_fn, mask, init_latent, predictor)
         if progress:
             inner = model_fn
 
             def model_fn(x_, sigma_):  # noqa: F811 — progress-wrapped
-                x0 = inner(x_, sigma_)
-                io_callback(_progress_tick, None, x0, ordered=False)
-                return x0
+                out = inner(x_, sigma_)
+                io_callback(_progress_tick, None,
+                            out[0] if isinstance(out, tuple) else out, ordered=False)
+                return out
 
         import inspect
 
         sig = inspect.signature(info.fn)
         kwargs = {}
-        if info.noise_draws > 0:
+        if noise is not None and "noise" in sig.parameters:
             kwargs["noise"] = noise
-        for name, value in (("eta", p.eta), ("s_noise", p.s_noise), ("s_churn", p.s_churn)):
+        eta_val = p.eta_ddim if info.uses_eta_ddim else p.eta
+        for name, value in (("eta", eta_val), ("s_noise", p.s_noise), ("s_churn", p.s_churn)):
             if name in sig.parameters:
                 kwargs[name] = value
         return info.fn(model_fn, x, sigmas, **kwargs)
@@ -262,9 +270,21 @@ def _prepare_noise(p: Processing, rng: ImageRNG, info, n_steps: int,
 
     SDE samplers get Brownian-tree noise (deterministic per seed AND per
     σ-interval, reference sd_samplers_common.py:343-350); the ancestral
-    samplers draw a plain per-step Philox stream."""
-    if info.noise_draws == 0:
+    samplers draw a plain per-step Philox stream. Deterministic samplers
+    become stochastic when the user sets s_churn (Euler/Heun/DPM2) or
+    eta_ddim (DDIM family) — they then need a noise stream too."""
+    import inspect
+
+    draws = info.noise_draws
+    if draws == 0:
+        params = inspect.signature(info.fn).parameters
+        if "s_churn" in params and p.s_churn > 0:
+            draws = 1
+        elif info.uses_eta_ddim and p.eta_ddim > 0:
+            draws = 1
+    if draws == 0:
         return None
+    info = dataclasses.replace(info, noise_draws=draws)
     if info.brownian_noise and sigmas is not None and seeds is not None:
         from ..sampling.brownian import brownian_step_noise
 

@@ -84,6 +84,7 @@ def make_cfg_model_fn(
     sigmas_np=None,
     cond_branches: Optional[Sequence[Mapping[str, Any]]] = None,
     branch_weights: Optional[Sequence[float]] = None,
+    return_uncond: bool = False,
 ) -> Callable:
     """Build model_fn(x, σ) for the samplers.
 
@@ -114,12 +115,12 @@ def make_cfg_model_fn(
                 combo = eps_un
                 for w, eps_c in zip(weights, outs[:-1]):
                     combo = combo + cfg_scale * w * (eps_c - eps_un)
-                return combo
+                return (combo, eps_un) if return_uncond else combo
             combo = jnp.zeros_like(outs[0])
             total = sum(weights)
             for w, eps_c in zip(weights, outs):
                 combo = combo + (w / total) * eps_c
-            return combo
+            return (combo, combo) if return_uncond else combo
 
         return model_fn_multi
 
@@ -153,9 +154,22 @@ def make_cfg_model_fn(
 
         for hook in post_cfg_hooks:
             x0 = hook(x0, eps_cond, eps_uncond, x, sigma)
-        return x0
+        # CFG++ samplers steer the direction term with the uncond prediction
+        # (reference need_last_noise_uncond, sd_samplers_cfg_denoiser.py)
+        return (x0, eps_uncond) if return_uncond else x0
 
     return model_fn
+
+
+def make_masked_pair_fn(pair_fn: Callable, mask: jax.Array, init_latent: jax.Array) -> Callable:
+    """Masked-composite wrapper for pair-returning (CFG++) model fns: the x0
+    prediction is composited, the uncond direction term passes through."""
+
+    def wrapped(x, sigma):
+        x0, un = pair_fn(x, sigma)
+        return init_latent * (1.0 - mask) + x0 * mask, un
+
+    return wrapped
 
 
 def make_masked_model_fn(model_fn: Callable, mask: jax.Array, init_latent: jax.Array, predictor) -> Callable:

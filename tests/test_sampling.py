@@ -63,7 +63,10 @@ SHAPE = (1, 8, 8, 4)
 
 def _run(name, sigmas, const):
     info = get_sampler(name)
-    model_fn = lambda x, sigma: jnp.full_like(x, const)
+    if info.needs_uncond:  # CFG++ family: model_fn returns (x0, x0_uncond)
+        model_fn = lambda x, sigma: (jnp.full_like(x, const), jnp.full_like(x, const))
+    else:
+        model_fn = lambda x, sigma: jnp.full_like(x, const)
     x0 = jnp.full(SHAPE, 5.0)
     x = x0 * sigmas[0]
     noise = None
@@ -80,7 +83,12 @@ def test_constant_denoiser_convergence(name, pred):
     info = get_sampler(name)
     sigmas = get_sigmas("karras", 8, pred, discard_next_to_last=info.discard_next_to_last_sigma)
     out = _run(name, sigmas, const=3.0)
-    assert np.abs(out - 3.0).max() < 2e-2, name
+    tol = 2e-2
+    if name in ("DPM fast", "DPM adaptive"):
+        # these integrate to σ_min, not 0 (reference passes sigma_sched[-2]):
+        # the exact residual is d·σ_min along the constant-denoiser ray
+        tol += float(sigmas[-2]) * abs(5.0 * sigmas[0] - 3.0) / float(sigmas[0])
+    assert np.abs(out - 3.0).max() < tol, name
 
 
 def test_euler_exact_trajectory(pred):
