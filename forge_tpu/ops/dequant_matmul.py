@@ -223,6 +223,9 @@ def linear_quantized(x: jax.Array, qleaf: Mapping[str, Any], bias=None,
 
         w = quant.dequantize(qleaf, x.dtype)
         y = x2 @ w.T
+    from .quant import lora_epilogue
+
+    y = lora_epilogue(y, x2, qleaf)  # online LoRA over quantized weights
     y = y.reshape(*lead, out_dim)
     if bias is not None:
         y = y + bias.astype(y.dtype)

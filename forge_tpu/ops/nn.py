@@ -32,13 +32,11 @@ def linear(x: jax.Array, p: Mapping[str, Any]) -> jax.Array:
     from .quant import is_quantized
 
     if is_quantized(w):
-        if "codes2d" in w:
-            from .dequant_matmul import linear_quantized
+        from .dequant_matmul import linear_quantized
 
-            return linear_quantized(x, w, bias=p.get("bias"))
-        from . import quant
-
-        w = quant.dequantize(w, x.dtype)
+        # linear_quantized picks fused-kernel vs dequantize-then-matmul and
+        # applies any online-LoRA epilogue terms on the leaf
+        return linear_quantized(x, w, bias=p.get("bias"))
     y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype), precision=_PRECISION)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(y.dtype)

@@ -41,17 +41,26 @@ class QuantTensor:
     """Pytree-registered quantized weight: codes/scales are traced children,
     (kind, shape) are static aux data — so quantized param trees flow through
     jit/donation/sharding like ordinary arrays. Dict-style access keeps the
-    producer API (quantize() returns plain dicts) interchangeable."""
+    producer API (quantize() returns plain dicts) interchangeable.
 
-    _FIELDS = ("codes", "scales", "codes2d", "scales2d")
+    lora_down/lora_up/lora_dense carry ONLINE LoRA terms (the reference's
+    in-forward merge for quantized weights, backend/operations.py:16-53):
+    the weight stays packed and the forward adds x·downᵀ·upᵀ (+ x·denseᵀ)."""
 
-    def __init__(self, kind, shape, codes, scales, codes2d=None, scales2d=None):
+    _FIELDS = ("codes", "scales", "codes2d", "scales2d",
+               "lora_down", "lora_up", "lora_dense")
+
+    def __init__(self, kind, shape, codes, scales, codes2d=None, scales2d=None,
+                 lora_down=None, lora_up=None, lora_dense=None):
         self.kind = kind
         self.shape = tuple(shape)
         self.codes = codes
         self.scales = scales
         self.codes2d = codes2d
         self.scales2d = scales2d
+        self.lora_down = lora_down
+        self.lora_up = lora_up
+        self.lora_dense = lora_dense
 
     def __getitem__(self, key):
         val = getattr(self, key)
@@ -68,7 +77,9 @@ class QuantTensor:
     @staticmethod
     def from_dict(d: Mapping[str, Any]) -> "QuantTensor":
         return QuantTensor(d["kind"], d["shape"], d["codes"], d["scales"],
-                           d.get("codes2d"), d.get("scales2d"))
+                           d.get("codes2d"), d.get("scales2d"),
+                           d.get("lora_down"), d.get("lora_up"),
+                           d.get("lora_dense"))
 
 
 def _qt_flatten(qt: QuantTensor):
@@ -88,6 +99,24 @@ def is_quantized(leaf: Any) -> bool:
     if isinstance(leaf, QuantTensor):
         return True
     return isinstance(leaf, Mapping) and "kind" in leaf and "codes" in leaf
+
+
+def lora_epilogue(y, x2, qleaf) -> Any:
+    """Add the online-LoRA terms of a quantized leaf to a matmul result.
+
+    y: [M, out] (the dequant-matmul result), x2: [M, in]. Low-rank terms run
+    as two skinny matmuls (rank ≪ in/out, cost is negligible next to the main
+    matmul); dense terms (loha/lokr/glora/DoRA merges) as one extra matmul.
+    Reference: backend/operations.py:16-53 online weight compose."""
+    down = qleaf.get("lora_down")
+    if down is not None:
+        up = qleaf["lora_up"]
+        t = jnp.matmul(x2, down.astype(x2.dtype).T)
+        y = y + jnp.matmul(t, up.astype(x2.dtype).T).astype(y.dtype)
+    dense = qleaf.get("lora_dense")
+    if dense is not None:
+        y = y + jnp.matmul(x2, dense.astype(x2.dtype).T).astype(y.dtype)
+    return y
 
 
 # ---------------------------------------------------------------------------
