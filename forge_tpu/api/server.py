@@ -435,6 +435,9 @@ def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 786
     server = ThreadingHTTPServer((host, port), handler)
     server.api = api
     api._server = server
+    from ..runtime.scripts import fire
+
+    fire("app_started", server)
     return server
 
 

@@ -43,6 +43,10 @@ def save_image(
             path = f"{base}-{i}.{file_format}"
             i += 1
 
+    from ..runtime.scripts import fire
+
+    fire("before_image_saved", path, img, infotext)
+
     if file_format.lower() == "png":
         pnginfo = PngImagePlugin.PngInfo()
         if infotext:
@@ -54,6 +58,7 @@ def save_image(
             _save_exif_comment(path, infotext)
     else:
         img.save(path)
+    fire("image_saved", path, img, infotext)
     return path
 
 

@@ -203,7 +203,9 @@ def _progress_tick(x0):
 
     state.sampling_step += 1
     try:
-        every = 10
+        from ..runtime.options import opts
+
+        every = max(int(opts.get("show_progress_every_n_steps")), 1)
         if state.sampling_step % every == 0:
             state.set_current_image(latent_to_rgb_cheap(np.asarray(x0))[0])
     except Exception:
@@ -314,6 +316,25 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
         runner.setup(p)
         runner.before_process(p)
         runner.process(p)
+    from ..runtime.scripts import fire
+
+    fire("before_process", p)
+
+    # HBM plan: chunk the batch and pick tiled VAE UP FRONT (XLA preallocates;
+    # the reference decides the same reactively at sampling_function.py:208
+    # and vae.py:143 — here the estimate gates compilation shape instead)
+    from ..runtime.memory import plan_generation
+
+    plan = plan_generation(p.batch_size, p.height, p.width,
+                           weight_bytes=_tree_bytes(engine.loaded.unet))
+    if 0 < plan.batch_chunk < p.batch_size:
+        chunk = plan.batch_chunk
+        while p.batch_size % chunk:  # keep seed layout: chunk must divide
+            chunk -= 1
+        if chunk < p.batch_size:
+            p.n_iter *= p.batch_size // chunk
+            p.batch_size = chunk
+    p._plan = plan
 
     is_img2img = p.init_images is not None
     timings: Dict[str, float] = {}
@@ -399,9 +420,36 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     return processed
 
 
-def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array) -> np.ndarray:
+def _tree_bytes(tree) -> int:
+    return sum(getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree))
+
+
+def _nan_check_enabled() -> bool:
+    from ..runtime.options import opts
+
+    try:
+        return not bool(opts.get("disable_nan_check"))
+    except KeyError:
+        return True
+
+
+def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array,
+                     p: Optional[Processing] = None) -> np.ndarray:
     t0 = time.time()
-    out = np.asarray(engine.decode_to_uint8(latent))
+    if _nan_check_enabled():
+        from ..runtime.profiling import test_for_nans
+
+        test_for_nans(latent, "unet")
+    plan = getattr(p, "_plan", None) if p is not None else None
+    if plan is not None and plan.tiled_vae:
+        img = np.asarray(engine.decode_first_stage_tiled(latent), np.float32)
+        if _nan_check_enabled():
+            from ..runtime.profiling import test_for_nans
+
+            test_for_nans(img, "vae")
+        out = np.clip((img + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+    else:
+        out = np.asarray(engine.decode_to_uint8(latent))
     _PHASE["decode"] = time.time() - t0
     return out
 
@@ -500,7 +548,7 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     if p.enable_hr:
         latent = _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params)
 
-    return _decode_to_uint8(engine, latent)
+    return _decode_to_uint8(engine, latent, p)
 
 
 def _latent_upscale(latent: jax.Array, scale: float) -> jax.Array:
@@ -629,7 +677,7 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                           skip_uncond=(p.cfg_scale == 1.0),
                           mask=mask_latent, init_latent=init_latent, kind="img2img",
                           unet_params=unet_params)
-    return _decode_to_uint8(engine, latent)
+    return _decode_to_uint8(engine, latent, p)
 
 
 def _sample_inpaint_full_res(engine, p, seeds, subseeds, cond, uncond, unet_params):

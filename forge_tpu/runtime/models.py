@@ -84,6 +84,9 @@ class ModelManager:
         with self._lock:
             self._engine = engine
             self._loading_key = ("external",)
+        from .scripts import fire
+
+        fire("model_loaded", engine)
 
     def load(self, name_or_path: str, vae: Optional[str] = None, **kwargs) -> DiffusionEngine:
         info = self.find(name_or_path)
@@ -99,6 +102,10 @@ class ModelManager:
                 embeddings_dir=self.embeddings_dir, **kwargs
             )
             self._loading_key = key
+        from .scripts import fire
+
+        fire("model_loaded", self._engine)
+        with self._lock:
             return self._engine
 
     def unload(self):

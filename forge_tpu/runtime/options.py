@@ -110,6 +110,7 @@ _DEFAULTS = {
                                choices=["None", "Ignore", "Original", "No norm"]),
     "comma_padding_backtrack": OptionInfo(20, "Prompt comma backtrack", "sd"),
     "randn_source": OptionInfo("NV", "RNG source", "compat", choices=["NV", "CPU"]),
+    "disable_nan_check": OptionInfo(False, "Skip NaN checks after UNet/VAE", "compat"),
     "samples_save": OptionInfo(True, "Always save generated images", "saving"),
     "samples_format": OptionInfo("png", "Image format", "saving"),
     "outdir_txt2img_samples": OptionInfo("outputs/txt2img-images", "txt2img out dir", "saving"),

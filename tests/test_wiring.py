@@ -1,0 +1,95 @@
+"""The formerly-orphaned components are actually wired (VERDICT r1 item #8):
+plan_generation chunks batches and selects tiled VAE from process_images,
+test_for_nans raises the actionable message on a poisoned latent, and
+callback events fire at load/save boundaries."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from fixtures import make_tiny_engine
+from forge_tpu.pipeline.processing import Processing, process_images
+from forge_tpu.runtime import scripts as scripts_mod
+from forge_tpu.runtime.memory import plan_generation
+from forge_tpu.runtime.profiling import NansException
+from forge_tpu.runtime.profiling import test_for_nans as check_nans
+
+
+def test_plan_chunks_batch():
+    plan = plan_generation(8, 1024, 1024, weight_bytes=5 << 30,
+                           free_bytes=6 << 30)
+    assert plan.batch_chunk < 8
+    plan2 = plan_generation(2, 256, 256, weight_bytes=1 << 28,
+                            free_bytes=12 << 30)
+    assert plan2.batch_chunk == 2 and not plan2.tiled_vae
+
+
+def test_plan_applied_in_pipeline():
+    eng = make_tiny_engine()
+    p = Processing(prompt="x", seed=1, steps=2, width=32, height=32,
+                   batch_size=2, sampler_name="Euler")
+    r = process_images(eng, p)
+    assert hasattr(p, "_plan")
+    assert len(r.images) == 2  # chunking preserves total image count
+
+
+def test_nan_check_message():
+    bad = np.full((1, 4, 4, 4), np.nan, np.float32)
+    with pytest.raises(NansException, match="UNet"):
+        check_nans(bad, "unet")
+    with pytest.raises(NansException, match="VAE"):
+        check_nans(bad, "vae")
+    check_nans(np.zeros(4), "unet")  # finite: no raise
+    check_nans(bad, "unet", enabled=False)  # disabled: no raise
+
+
+def test_nan_check_fires_in_pipeline(monkeypatch):
+    eng = make_tiny_engine()
+    import forge_tpu.pipeline.processing as proc
+
+    def poison(engine, p, x, sigmas, noise, cond, uncond, skip_uncond, **kw):
+        import jax.numpy as jnp
+
+        return jnp.full((p.batch_size, 4, 4, 4), jnp.nan)
+
+    monkeypatch.setattr(proc, "_run_sampler", poison)
+    p = Processing(prompt="x", seed=1, steps=2, width=32, height=32)
+    with pytest.raises(NansException, match="UNet"):
+        process_images(eng, p)
+
+
+def test_callbacks_fire():
+    seen = []
+    scripts_mod.on("before_process", lambda p: seen.append("bp"))
+    scripts_mod.on("model_loaded", lambda e: seen.append("ml"))
+    try:
+        eng = make_tiny_engine()
+        from forge_tpu.runtime.models import ModelManager
+
+        mm = ModelManager()
+        mm.set_engine(eng)
+        assert "ml" in seen
+        p = Processing(prompt="x", seed=1, steps=2, width=32, height=32)
+        process_images(eng, p)
+        assert "bp" in seen
+    finally:
+        scripts_mod.clear("before_process")
+        scripts_mod.clear("model_loaded")
+
+
+def test_image_saved_callbacks(tmp_path):
+    seen = []
+    scripts_mod.on("before_image_saved", lambda path, img, info: seen.append(("pre", path)))
+    scripts_mod.on("image_saved", lambda path, img, info: seen.append(("post", path)))
+    try:
+        from forge_tpu.pipeline.images import save_image
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        path = save_image(img, outdir=str(tmp_path), seed=1, prompt="t")
+        assert ("pre", path) in seen and ("post", path) in seen
+    finally:
+        scripts_mod.clear("before_image_saved")
+        scripts_mod.clear("image_saved")
