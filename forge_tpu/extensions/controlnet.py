@@ -1,0 +1,200 @@
+"""ControlNet / T2I-Adapter units: loading, preprocessing, and attachment.
+
+Behavioral twin of the integrated ControlNet extension
+(extensions-builtin/sd_forge_controlnet/scripts/controlnet.py:547-563 Script
+hooks, modules_forge/supported_controlnet.py:39-148 model dispatch,
+lib_controlnet API unit schema): an API/user supplies unit dicts
+{enabled, module, model|model_path, image(b64|array), weight,
+guidance_start, guidance_end, processor_res, threshold_a, threshold_b,
+advanced_weighting}; `attach_units` runs the preprocessor, loads the net,
+and appends gating-wrapped states to p.controlnets.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import io
+import os
+from typing import Any, Dict, List, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state_dict import load_state_dict, transform_for_jax
+from ..core.tree import nest
+from ..models.controlnet import ControlNetState
+from ..models.t2i_adapter import T2IAdapterState, detect_adapter_config
+from ..models.unet import UNetConfig
+from ..preprocessors import get_preprocessor
+from ..preprocessors.cv import bilinear_resize
+from ..runtime.scripts import Script
+
+_MODEL_CACHE: Dict[str, Any] = {}
+_MODEL_DIRS = ["models/ControlNet", "models/controlnet"]
+
+
+def set_model_dirs(dirs):
+    global _MODEL_DIRS
+    _MODEL_DIRS = list(dirs)
+
+
+def list_controlnet_models() -> List[str]:
+    out = []
+    for d in _MODEL_DIRS:
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith((".safetensors", ".ckpt", ".pt", ".pth", ".bin")):
+                    out.append(os.path.splitext(f)[0])
+    return out
+
+
+def _find_model(name: str) -> Optional[str]:
+    if os.path.isfile(name):
+        return name
+    for d in _MODEL_DIRS:
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if os.path.splitext(f)[0] == name or f == name:
+                return os.path.join(d, f)
+    return None
+
+
+def load_control_model(path: str):
+    """→ ('controlnet'|'t2i_adapter', params_tree, cfg, digest).
+
+    Detection mirrors modules_forge/supported_controlnet.py: cldm nets carry
+    input_hint_block/zero_convs (possibly under a control_model. prefix);
+    T2I adapters carry conv_in + body.N blocks."""
+    if path in _MODEL_CACHE:
+        return _MODEL_CACHE[path]
+    sd = load_state_dict(path)
+    digest = hashlib.sha256(
+        ("|".join(sorted(sd.keys())) + path).encode()).hexdigest()[:16]
+    if any(k.startswith("control_model.") for k in sd):
+        sd = {k[len("control_model."):]: v for k, v in sd.items()
+              if k.startswith("control_model.")}
+    if any(k.startswith("input_hint_block") for k in sd):
+        kind = "controlnet"
+        params = nest(transform_for_jax(sd))
+        cfg = _cn_config(sd)
+    elif "conv_in.weight" in sd and any(k.startswith("body.") for k in sd):
+        kind = "t2i_adapter"
+        params = nest(transform_for_jax(sd))
+        cfg = detect_adapter_config(params)
+    else:
+        raise ValueError(f"unrecognized control model format: {path}")
+    _MODEL_CACHE[path] = (kind, params, cfg, digest)
+    return _MODEL_CACHE[path]
+
+
+def _cn_config(sd: Mapping[str, np.ndarray]) -> UNetConfig:
+    """Sniff the cldm's attention geometry from checkpoint shapes."""
+    ctx = None
+    for k, v in sd.items():
+        if k.endswith("attn2.to_k.weight"):
+            ctx = v.shape[1]
+            break
+    model_ch = sd["input_blocks.0.0.weight"].shape[0]
+    use_linear = False
+    for k, v in sd.items():
+        if k.endswith(".proj_in.weight"):
+            use_linear = v.ndim == 2
+            break
+    if ctx in (None, 768):
+        return UNetConfig(context_dim=768, num_heads=max(model_ch // 40, 1))
+    if ctx == 2048:
+        adm = sd.get("label_emb.0.0.weight")
+        return UNetConfig(context_dim=2048, head_dim=64, use_linear_projection=use_linear,
+                          adm_in_channels=adm.shape[1] if adm is not None else 2816)
+    return UNetConfig(context_dim=ctx, head_dim=64, use_linear_projection=use_linear)
+
+
+def _decode_image(image) -> np.ndarray:
+    """unit['image']: b64 string | ndarray | {'image': ...} → uint8 [H,W,3]."""
+    if isinstance(image, dict):
+        image = image.get("image")
+    if isinstance(image, str):
+        from PIL import Image
+
+        raw = base64.b64decode(image.split(",", 1)[-1])
+        img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        return img
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr, 0, 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=2)
+    return arr[..., :3]
+
+
+def build_unit_state(unit: Mapping[str, Any], width: int, height: int):
+    """One API unit dict → ControlNetState/T2IAdapterState (or None)."""
+    if not unit.get("enabled", True):
+        return None
+    image = unit.get("image")
+    if image is None:
+        return None
+    img = _decode_image(image)
+    module = unit.get("module", "none") or "none"
+    res = int(unit.get("processor_res", 0) or 0) or min(img.shape[:2])
+    fmap = get_preprocessor(module)(
+        img, res, unit.get("threshold_a", 0) or 0, unit.get("threshold_b", 0) or 0)
+    fmap = np.clip(bilinear_resize(fmap, height, width), 0.0, 1.0)
+    hint = jnp.asarray(fmap[None], jnp.float32)
+
+    model_name = unit.get("model") or unit.get("model_path")
+    if not model_name or str(model_name).lower() in ("none", "null"):
+        return None
+    path = _find_model(str(model_name))
+    if path is None:
+        raise FileNotFoundError(f"controlnet model {model_name!r} not found in {_MODEL_DIRS}")
+    kind, params, cfg, model_digest = load_control_model(path)
+
+    digest = hashlib.sha256(
+        f"{model_digest}|{module}|{res}|{unit.get('threshold_a')}|"
+        f"{unit.get('threshold_b')}|{fmap.shape}|"
+        f"{hashlib.sha256(np.ascontiguousarray(fmap).tobytes()).hexdigest()}".encode()
+    ).hexdigest()[:16]
+
+    common = dict(
+        params=params,
+        hint=hint,
+        strength=float(unit.get("weight", 1.0)),
+        start_percent=float(unit.get("guidance_start", 0.0)),
+        end_percent=float(unit.get("guidance_end", 1.0)),
+        block_weights=unit.get("advanced_weighting"),
+        digest=digest,
+        cfg=cfg,
+    )
+    if kind == "t2i_adapter":
+        return T2IAdapterState(**common)
+    return ControlNetState(**common)
+
+
+def attach_units(p, units) -> int:
+    """Build states for every enabled unit and append to p.controlnets."""
+    states = []
+    for unit in units or ():
+        st = build_unit_state(unit, p.width, p.height)
+        if st is not None:
+            states.append(st)
+    if states:
+        p.controlnets = list(p.controlnets or []) + states
+    return len(states)
+
+
+class ControlNetScript(Script):
+    """alwayson script: consumes unit dicts from p (API alwayson_scripts or
+    direct assignment of p.controlnet_units)."""
+
+    name = "controlnet"
+    alwayson = True
+
+    def __init__(self, units=None):
+        self.units = units
+
+    def process(self, p):
+        units = self.units if self.units is not None else getattr(p, "controlnet_units", None)
+        attach_units(p, units)

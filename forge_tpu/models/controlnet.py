@@ -77,7 +77,10 @@ def controlnet_apply(
     h = resblock(mid["2"], h, emb)
     middle = nn.conv2d(h, params["middle_block_out"]["0"])
 
-    return {"output": outs, "middle": [middle]}
+    # unet_apply consumes control['output'][j] at output step j (deepest
+    # first); the encoder produced skips shallow-first → reverse here. The
+    # reference gets the same alignment from list.pop() (unet.py:46).
+    return {"output": outs[::-1], "middle": [middle]}
 
 
 def _hint_stack(hb: Mapping[str, Any], hint: jax.Array) -> jax.Array:
@@ -110,6 +113,10 @@ class ControlNetState:
     start_percent: float = 0.0
     end_percent: float = 1.0
     cfg: UNetConfig = UNetConfig()
+    # per-control-slot weights (reference advanced weighting,
+    # patcher/controlnet.py:86 compute_controlnet_weighting): weight i scales
+    # residual i of each kind; shorter lists pad with 1.0
+    block_weights: Optional[Sequence[float]] = None
     # stable content token for jit-cache keys (core/digest.py): set to the
     # checkpoint hash + hint hash at load; None falls back to a slow walk
     digest: Optional[str] = None
@@ -129,14 +136,25 @@ def run_controlnets(
         return None
     merged: Dict[str, List[Any]] = {}
     for st in states:
-        out = controlnet_apply(st.params, x, st.hint, timesteps, context, y=y, cfg=st.cfg)
+        if hasattr(st, "features"):  # T2IAdapterState: hint-only, precomputed
+            out = st.features()
+        else:
+            out = controlnet_apply(st.params, x, st.hint, timesteps, context, y=y, cfg=st.cfg)
         active = jnp.logical_and(
             sigma_frac >= st.start_percent, sigma_frac <= st.end_percent
         ).astype(x.dtype)
         gate = active * st.strength
+        bw = getattr(st, "block_weights", None)
         for kind, residuals in out.items():
             tgt = merged.setdefault(kind, [None] * len(residuals))
+            if len(tgt) < len(residuals):
+                tgt.extend([None] * (len(residuals) - len(tgt)))
             for i, r in enumerate(residuals):
-                r = r * gate
+                if r is None:
+                    continue
+                w = gate if bw is None else gate * float(bw[i] if i < len(bw) else 1.0)
+                if r.shape[0] != x.shape[0]:  # broadcast hint batch to CFG batch
+                    r = jnp.broadcast_to(r, (x.shape[0],) + r.shape[1:])
+                r = r.astype(x.dtype) * w
                 tgt[i] = r if tgt[i] is None else tgt[i] + r
     return merged

@@ -1,0 +1,157 @@
+"""ControlNet preprocessor (annotator) registry.
+
+Behavioral twin of the reference's Preprocessor objects + registry
+(modules_forge/supported_preprocessor.py:20-74, modules_forge/shared.py:40-66).
+Pure-CV annotators (canny, lineart-standard, scribble-XDoG, shuffle, blur,
+tile, threshold, invert) are numpy implementations; model-based annotators
+(depth MiDaS, openpose) live in their own modules and register on import.
+
+Contract: __call__(img_uint8 [H,W,3], res:int, threshold_a, threshold_b)
+→ float32 map [H,W,3] in [0,1] at the detect resolution (the caller resizes
+back to generation size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .cv import (
+    canny,
+    gaussian_blur,
+    lineart_standard,
+    resize_image,
+    scribble_xdog,
+    shuffle_map,
+    threshold_map,
+)
+
+
+@dataclasses.dataclass
+class Preprocessor:
+    name: str
+    call: Callable  # (img u8 [H,W,3], res, a, b) -> f32 [h,w,3] in [0,1]
+    slider_a: Optional[tuple] = None  # (label, min, max, default)
+    slider_b: Optional[tuple] = None
+    resolution_default: int = 512
+    tags: tuple = ()
+
+    def __call__(self, img: np.ndarray, res: int = 512,
+                 threshold_a: float = 0.0, threshold_b: float = 0.0) -> np.ndarray:
+        return self.call(img, res, threshold_a, threshold_b)
+
+
+PREPROCESSORS: Dict[str, Preprocessor] = {}
+
+
+def register(p: Preprocessor, aliases=()) -> Preprocessor:
+    PREPROCESSORS[p.name] = p
+    for a in aliases:
+        PREPROCESSORS[a] = p
+    return p
+
+
+def get_preprocessor(name: str) -> Preprocessor:
+    if name in PREPROCESSORS:
+        return PREPROCESSORS[name]
+    low = name.lower().replace(" ", "_")
+    for key, p in PREPROCESSORS.items():
+        if key.lower().replace(" ", "_") == low:
+            return p
+    raise KeyError(f"unknown preprocessor {name!r}")
+
+
+def preprocessor_names():
+    seen, out = set(), []
+    for name, p in PREPROCESSORS.items():
+        if id(p) not in seen:
+            seen.add(id(p))
+            out.append(name)
+    return out
+
+
+def _to_float(img):
+    return np.asarray(img, np.float32) / 255.0 if img.dtype == np.uint8 \
+        else np.asarray(img, np.float32)
+
+
+def _none(img, res, a, b):
+    return _to_float(resize_image(img, res))
+
+
+def _invert(img, res, a, b):
+    return 1.0 - _to_float(resize_image(img, res))
+
+
+def _canny(img, res, a, b):
+    lo = int(a) if a else 100
+    hi = int(b) if b else 200
+    edges = canny(resize_image(img, res), lo, hi)
+    return np.repeat(edges[..., None], 3, axis=2)
+
+
+def _blur(img, res, a, b):
+    sigma = float(a) if a else 9.0
+    return gaussian_blur(_to_float(resize_image(img, res)), sigma)
+
+
+def _shuffle(img, res, a, b):
+    return shuffle_map(_to_float(resize_image(img, res)), seed=int(b) if b else 0)
+
+
+def _lineart_std(img, res, a, b):
+    g = lineart_standard(resize_image(img, res), float(a) if a else 6.0)
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+def _xdog(img, res, a, b):
+    g = scribble_xdog(resize_image(img, res), float(a) if a else 32.0)
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+def _threshold(img, res, a, b):
+    g = threshold_map(resize_image(img, res), float(a) if a else 127.0)
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+def _tile_resample(img, res, a, b):
+    down = max(float(a), 1.0) if a else 1.0
+    h, w = img.shape[:2]
+    small = resize_image(img, int(min(h, w) / down))
+    return _to_float(resize_image(small, res))
+
+
+register(Preprocessor("none", _none, tags=("All",)))
+register(Preprocessor("invert", _invert, tags=("All",)),
+         aliases=("invert (from white bg & black line)",))
+register(Preprocessor(
+    "canny", _canny,
+    slider_a=("Low Threshold", 0, 255, 100),
+    slider_b=("High Threshold", 0, 255, 200), tags=("Canny",)))
+register(Preprocessor(
+    "blur_gaussian", _blur, slider_a=("Sigma", 0.01, 64.0, 9.0), tags=("Tile",)))
+register(Preprocessor("shuffle", _shuffle, tags=("Shuffle",)))
+register(Preprocessor(
+    "lineart_standard", _lineart_std,
+    slider_a=("Guassian Sigma", 0.01, 16.0, 6.0), tags=("Lineart",)),
+    aliases=("lineart_standard (from white bg & black line)",))
+register(Preprocessor(
+    "scribble_xdog", _xdog, slider_a=("XDoG Threshold", 1, 64, 32), tags=("Scribble",)))
+register(Preprocessor(
+    "threshold", _threshold, slider_a=("Binarization Threshold", 0, 255, 127),
+    tags=("Scribble",)))
+register(Preprocessor(
+    "tile_resample", _tile_resample, slider_a=("Down Sampling Rate", 1.0, 8.0, 1.0),
+    tags=("Tile",)))
+
+# model-based annotators self-register on import (kept lazy: weights optional)
+try:  # noqa: SIM105
+    from . import depth  # noqa: F401
+except Exception:  # pragma: no cover — missing weights is fine at import
+    pass
+try:  # noqa: SIM105
+    from . import openpose  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
