@@ -69,6 +69,11 @@ class Processing:
     hr_second_pass_steps: int = 0
     hr_upscaler: str = "Latent"
     hr_denoising_strength: float = 0.7
+    hr_checkpoint_name: Optional[str] = None  # different model for the hires pass
+    # refiner two-pass (reference processing.py:1342-1428 + cfg_denoiser
+    # refiner switch): swap to the refiner engine at switch_at·steps
+    refiner_checkpoint: Optional[str] = None
+    refiner_switch_at: float = 0.0
 
     all_seeds: Optional[List[int]] = None
     all_subseeds: Optional[List[int]] = None
@@ -510,6 +515,34 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
     )
 
 
+# checkpoint-name → DiffusionEngine resolver, installed by the serving layer
+# (runtime.models.ModelManager.install_resolver); tests may inject engines
+# directly via p._refiner_engine / p._hr_engine.
+ENGINE_RESOLVER: Optional[Any] = None
+
+
+def _resolve_engine(p: Processing, name: Optional[str], attr: str):
+    eng = getattr(p, attr, None)
+    if eng is not None:
+        return eng
+    if name and ENGINE_RESOLVER is not None:
+        return ENGINE_RESOLVER(name)
+    raise ValueError(f"cannot resolve checkpoint {name!r}: no engine resolver installed")
+
+
+def _encode_base_conds(engine, p):
+    """Plain (non-scheduled) cond/uncond from an alternate engine for the
+    refiner/hires tail — the reference re-encodes with the active model's
+    text stack (processing.py:1398-1410 hr conds, sdxl.py:218 refiner)."""
+    prompt = parse_prompt_networks_stripped(p.prompt)
+    neg = parse_prompt_networks_stripped(p.negative_prompt)
+    b = p.batch_size
+    cond = engine.get_learned_conditioning([prompt] * b, p.width, p.height)
+    uncond = engine.get_learned_conditioning([neg] * b, p.width, p.height,
+                                             is_negative=True)
+    return cond, uncond
+
+
 def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, cond, uncond, unet_params=None):
     t_noise = time.time()
     info = get_sampler(p.sampler_name)
@@ -540,15 +573,43 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     _PHASE["noise"] = time.time() - t_noise
 
     t1 = time.time()
-    latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
-                          skip_uncond=(p.cfg_scale == 1.0), unet_params=unet_params)
+    switch_at = float(p.refiner_switch_at or 0.0)
+    use_refiner = 0.0 < switch_at < 1.0 and (
+        p.refiner_checkpoint or getattr(p, "_refiner_engine", None) is not None)
+    if use_refiner:
+        # base pass to the switch step, refiner continues the SAME σ schedule
+        # from the seam latent (reference swaps the model inside CFGDenoiser;
+        # here: two compiled scans over a split schedule). Multistep history
+        # resets at the seam.
+        k = max(1, min(n_steps - 1, int(round(switch_at * n_steps))))
+        latent = _run_sampler(engine, p, x, sigmas[: k + 1],
+                              step_noise[:k] if step_noise is not None else None,
+                              cond, uncond, skip_uncond=(p.cfg_scale == 1.0),
+                              unet_params=unet_params)
+        refiner = _resolve_engine(p, p.refiner_checkpoint, "_refiner_engine")
+        rcond, runcond = _encode_base_conds(refiner, p)
+        latent = _run_sampler(refiner, p, latent, sigmas[k:],
+                              step_noise[k:] if step_noise is not None else None,
+                              rcond, runcond, skip_uncond=(p.cfg_scale == 1.0),
+                              kind="refiner")
+        engine_out = refiner
+    else:
+        latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
+                              skip_uncond=(p.cfg_scale == 1.0), unet_params=unet_params)
+        engine_out = engine
     latent.block_until_ready()
     _PHASE["sample"] = time.time() - t1
 
     if p.enable_hr:
-        latent = _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params)
+        hr_engine = engine
+        if p.hr_checkpoint_name or getattr(p, "_hr_engine", None) is not None:
+            hr_engine = _resolve_engine(p, p.hr_checkpoint_name, "_hr_engine")
+            cond, uncond = _encode_base_conds(hr_engine, p)
+            unet_params = None
+        latent = _hires_pass(hr_engine, p, latent, seeds, subseeds, cond, uncond, unet_params)
+        return _decode_to_uint8(hr_engine, latent, p)
 
-    return _decode_to_uint8(engine, latent, p)
+    return _decode_to_uint8(engine_out, latent, p)
 
 
 def _latent_upscale(latent: jax.Array, scale: float) -> jax.Array:

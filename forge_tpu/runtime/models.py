@@ -47,8 +47,30 @@ class ModelManager:
         self._lock = threading.RLock()
         self._engine: Optional[DiffusionEngine] = None
         self._loading_key: Optional[tuple] = None
+        self._aux_engines: Dict[str, DiffusionEngine] = {}  # refiner/hires
         self.checkpoints: Dict[str, CheckpointInfo] = {}
         self.refresh()
+        # serve refiner/hires checkpoint lookups from the pipeline
+        from ..pipeline import processing as _proc
+
+        _proc.ENGINE_RESOLVER = self.resolve_aux
+
+    def resolve_aux(self, name: str) -> DiffusionEngine:
+        """Secondary engine for refiner/hires switches — kept ALONGSIDE the
+        primary (reference swaps checkpoints in place, processing.py:1342;
+        on TPU both stay resident and each pass uses its own compiled loop)."""
+        info = self.find(name)
+        if info is None:
+            raise FileNotFoundError(f"checkpoint {name!r} not found")
+        with self._lock:
+            if info.path in self._aux_engines:
+                return self._aux_engines[info.path]
+        eng = load_engine(info.path, embeddings_dir=self.embeddings_dir)
+        with self._lock:
+            while len(self._aux_engines) >= 2:  # bound HBM: keep ≤2 aux engines
+                self._aux_engines.pop(next(iter(self._aux_engines)))
+            self._aux_engines[info.path] = eng
+        return eng
 
     def refresh(self):
         with self._lock:

@@ -124,3 +124,54 @@ def test_hires_pixel_upscaler(engine):
                                   hr_upscaler="Lanczos"))
     assert r.images[0].shape == (64, 64, 3)
     assert np.isfinite(r.images[0].astype(np.float32)).all()
+
+
+def test_refiner_switch_uses_second_engine():
+    """Refiner two-pass (VERDICT r1 item #7): the tail runs on a DIFFERENT
+    engine — output must differ from both no-refiner and all-base runs, and
+    equal a run with the same engine injected (determinism)."""
+    from fixtures import make_tiny_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+
+    base = make_tiny_engine(seed=0)
+    refiner = make_tiny_engine(seed=42)  # different weights
+
+    def run(**kw):
+        p = Processing(prompt="cat", seed=3, steps=4, width=32, height=32,
+                       sampler_name="Euler", **{k: v for k, v in kw.items()
+                                                if not k.startswith("_")})
+        for k, v in kw.items():
+            if k.startswith("_"):
+                setattr(p, k, v)
+        return process_images(base, p).images[0]
+
+    plain = run()
+    refined = run(refiner_switch_at=0.5, _refiner_engine=refiner)
+    assert not np.array_equal(plain, refined), "refiner engine had no effect"
+    # same refiner engine → deterministic
+    refined2 = run(refiner_switch_at=0.5, _refiner_engine=refiner)
+    assert np.array_equal(refined, refined2)
+    # switching to the SAME engine ≈ splitting the schedule only
+    self_switch = run(refiner_switch_at=0.5, _refiner_engine=base)
+    assert not np.array_equal(self_switch, refined)
+
+
+def test_hires_checkpoint_switch():
+    from fixtures import make_tiny_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+
+    base = make_tiny_engine(seed=0)
+    other = make_tiny_engine(seed=7)
+
+    def run(hr_engine=None):
+        p = Processing(prompt="cat", seed=3, steps=3, width=32, height=32,
+                       sampler_name="Euler", enable_hr=True, hr_scale=2.0,
+                       hr_second_pass_steps=2)
+        if hr_engine is not None:
+            p._hr_engine = hr_engine
+        return process_images(base, p).images[0]
+
+    a = run()
+    b = run(hr_engine=other)
+    assert a.shape == b.shape == (64, 64, 3)
+    assert not np.array_equal(a, b), "hires engine switch had no effect"
