@@ -1,107 +1,551 @@
-"""Single-file web UI served at / — a functional txt2img/img2img front end
-over the /sdapi/v1 API (the reference ships a full Gradio app; this is the
-dependency-free equivalent for a headless TPU host: prompt boxes, sampler/
-scheduler/size/seed controls, live progress with preview, PNG-info drop)."""
+"""The built-in web UI: a single-page app over the REST API.
 
-INDEX_HTML = """<!doctype html>
-<html>
+The functional twin of the reference's Gradio app (modules/ui.py:271
+create_ui, modules_forge/main_entry.py top bar, javascript/ modules) built
+as dependency-free vanilla HTML/JS served from this process: txt2img /
+img2img(+inpaint brush) / Extras / PNG Info / Settings tabs, full generation
+controls (sampler/scheduler/steps/CFG/size/batch/seed+subseed/clip-skip),
+hires-fix + refiner + ControlNet sections, progress polling with live
+preview, gallery with infotext, send-to buttons, and an options editor.
+"""
+
+INDEX_HTML = r"""<!doctype html>
+<html lang="en">
 <head>
-<meta charset="utf-8"/>
+<meta charset="utf-8">
 <title>forge-tpu</title>
+<meta name="viewport" content="width=device-width, initial-scale=1">
 <style>
-  :root { color-scheme: dark; }
-  body { font-family: system-ui, sans-serif; margin: 0; background: #101418; color: #e6e6e6; display: flex; height: 100vh; }
-  #left { width: 420px; padding: 16px; overflow-y: auto; background: #161b22; }
-  #right { flex: 1; display: flex; align-items: center; justify-content: center; flex-direction: column; }
-  textarea { width: 100%; background: #0d1117; color: #e6e6e6; border: 1px solid #30363d; border-radius: 6px; padding: 8px; font-size: 14px; }
-  input, select { background: #0d1117; color: #e6e6e6; border: 1px solid #30363d; border-radius: 4px; padding: 4px 6px; }
-  label { display: block; margin-top: 10px; font-size: 12px; color: #9da7b3; }
-  .row { display: flex; gap: 10px; }
-  .row > div { flex: 1; }
-  button { margin-top: 14px; width: 100%; padding: 10px; background: #d97706; border: 0; border-radius: 6px; color: #fff; font-size: 15px; cursor: pointer; }
-  button:disabled { background: #444; }
-  #bar { height: 6px; background: #30363d; border-radius: 3px; margin-top: 10px; overflow: hidden; display: none; }
-  #fill { height: 100%; width: 0; background: #d97706; transition: width .3s; }
-  #img { max-width: 92%; max-height: 80vh; border-radius: 8px; }
-  #info { font-size: 11px; color: #9da7b3; white-space: pre-wrap; max-width: 80%; margin-top: 12px; }
-  h1 { font-size: 18px; margin: 0 0 10px; }
+:root{
+  --bg:#111418;--panel:#1a1f26;--panel2:#232a33;--border:#303945;
+  --text:#d7dde4;--dim:#8a94a0;--accent:#e8833a;--accent2:#4a90d9;
+  --ok:#4caf7d;--err:#d9534f;
+}
+*{box-sizing:border-box}
+body{margin:0;background:var(--bg);color:var(--text);
+  font:14px/1.45 system-ui,-apple-system,"Segoe UI",sans-serif}
+header{display:flex;align-items:center;gap:16px;padding:8px 16px;
+  background:var(--panel);border-bottom:1px solid var(--border)}
+header h1{font-size:16px;margin:0;color:var(--accent);letter-spacing:.5px}
+header .model-select{display:flex;align-items:center;gap:6px;flex:1}
+select,input[type=text],input[type=number],textarea{
+  background:var(--panel2);color:var(--text);border:1px solid var(--border);
+  border-radius:4px;padding:5px 8px;font:inherit}
+textarea{width:100%;resize:vertical;min-height:58px}
+input[type=range]{accent-color:var(--accent)}
+button{background:var(--panel2);color:var(--text);border:1px solid var(--border);
+  border-radius:4px;padding:6px 14px;cursor:pointer;font:inherit}
+button:hover{border-color:var(--accent)}
+button.primary{background:var(--accent);border-color:var(--accent);color:#111;font-weight:600}
+button.danger{border-color:var(--err);color:var(--err)}
+nav.tabs{display:flex;gap:2px;background:var(--panel);padding:0 16px}
+nav.tabs button{border:none;border-radius:6px 6px 0 0;background:transparent;
+  color:var(--dim);padding:9px 18px}
+nav.tabs button.active{background:var(--bg);color:var(--text)}
+main{padding:14px 16px}
+.tab{display:none}.tab.active{display:block}
+.cols{display:flex;gap:14px;align-items:flex-start;flex-wrap:wrap}
+.col-l{flex:1 1 520px;min-width:420px}
+.col-r{flex:1 1 420px;min-width:380px}
+fieldset{border:1px solid var(--border);border-radius:6px;margin:0 0 10px;
+  padding:10px 12px;background:var(--panel)}
+legend{color:var(--dim);padding:0 6px;font-size:12px;text-transform:uppercase;
+  letter-spacing:.8px}
+.row{display:flex;gap:10px;align-items:center;margin:6px 0;flex-wrap:wrap}
+.row label{color:var(--dim);min-width:86px;font-size:13px}
+.row .val{min-width:40px;text-align:right;color:var(--accent)}
+.grow{flex:1}
+.gallery{display:flex;flex-wrap:wrap;gap:8px;margin-top:8px}
+.gallery img{max-width:168px;border:1px solid var(--border);border-radius:4px;cursor:pointer}
+.gallery img.sel{border-color:var(--accent)}
+#preview-box{position:relative;min-height:220px;background:var(--panel);
+  border:1px solid var(--border);border-radius:6px;display:flex;
+  align-items:center;justify-content:center;overflow:hidden}
+#preview-box img{max-width:100%;max-height:540px}
+#progress-wrap{height:6px;background:var(--panel2);border-radius:3px;margin:8px 0;overflow:hidden}
+#progress-bar{height:100%;width:0%;background:var(--accent);transition:width .3s}
+#infotext{white-space:pre-wrap;color:var(--dim);font-size:12px;margin-top:6px;
+  font-family:ui-monospace,monospace}
+.drop{border:2px dashed var(--border);border-radius:6px;min-height:140px;
+  display:flex;align-items:center;justify-content:center;color:var(--dim);
+  position:relative;overflow:hidden}
+.drop img{max-width:100%;max-height:320px;display:block}
+.drop.over{border-color:var(--accent)}
+#mask-canvas{position:absolute;left:0;top:0;cursor:crosshair}
+.kv{display:grid;grid-template-columns:240px 1fr;gap:6px 14px;align-items:center}
+.kv label{color:var(--dim);font-size:13px;text-align:right}
+.toast{position:fixed;bottom:18px;right:18px;background:var(--panel2);
+  border:1px solid var(--accent);border-radius:6px;padding:10px 16px;display:none}
+.small{font-size:12px;color:var(--dim)}
+details{margin:4px 0}
+details>summary{cursor:pointer;color:var(--dim)}
+#lightbox{position:fixed;inset:0;background:#000c;display:none;
+  align-items:center;justify-content:center;z-index:50}
+#lightbox img{max-width:94vw;max-height:92vh}
 </style>
 </head>
 <body>
-<div id="left">
+<header>
   <h1>forge-tpu</h1>
-  <label>Prompt</label>
-  <textarea id="prompt" rows="4">a photograph of an astronaut riding a horse</textarea>
-  <label>Negative prompt</label>
-  <textarea id="negative" rows="2"></textarea>
-  <div class="row">
-    <div><label>Sampler</label><select id="sampler"></select></div>
-    <div><label>Schedule</label><select id="scheduler"></select></div>
+  <div class="model-select">
+    <label class="small">Checkpoint</label>
+    <select id="sd-model" style="min-width:260px"></select>
+    <button id="refresh-models" title="Refresh">&#10227;</button>
+    <span id="model-status" class="small"></span>
   </div>
-  <div class="row">
-    <div><label>Steps</label><input id="steps" type="number" value="20"/></div>
-    <div><label>CFG</label><input id="cfg" type="number" value="7" step="0.5"/></div>
-    <div><label>Seed</label><input id="seed" type="number" value="-1"/></div>
+  <span class="small" id="mem-status"></span>
+</header>
+<nav class="tabs">
+  <button data-tab="txt2img" class="active">txt2img</button>
+  <button data-tab="img2img">img2img</button>
+  <button data-tab="extras">Extras</button>
+  <button data-tab="pnginfo">PNG Info</button>
+  <button data-tab="settings">Settings</button>
+</nav>
+<main>
+
+<!-- ===================== txt2img + img2img (shared template) ============ -->
+<div class="tab active" id="tab-txt2img"></div>
+<div class="tab" id="tab-img2img"></div>
+
+<!-- ===================== Extras ========================================= -->
+<div class="tab" id="tab-extras">
+  <div class="cols">
+    <div class="col-l">
+      <fieldset><legend>Input</legend>
+        <div class="drop" id="extras-drop">drop / paste image here</div>
+      </fieldset>
+      <fieldset><legend>Upscale</legend>
+        <div class="row"><label>Upscaler</label>
+          <select id="extras-upscaler" class="grow"></select></div>
+        <div class="row"><label>Scale</label>
+          <input type="range" id="extras-scale" min="1" max="4" step="0.25" value="2">
+          <span class="val" id="extras-scale-v">2</span></div>
+        <button class="primary" id="extras-run">Upscale</button>
+      </fieldset>
+    </div>
+    <div class="col-r">
+      <fieldset><legend>Result</legend><div id="extras-out" class="gallery"></div></fieldset>
+    </div>
   </div>
-  <div class="row">
-    <div><label>Width</label><input id="width" type="number" value="512" step="64"/></div>
-    <div><label>Height</label><input id="height" type="number" value="512" step="64"/></div>
-    <div><label>Batch</label><input id="batch" type="number" value="1"/></div>
-  </div>
-  <label>Checkpoint</label><select id="model"></select>
-  <button id="go">Generate</button>
-  <div id="bar"><div id="fill"></div></div>
 </div>
-<div id="right">
-  <img id="img" src="" hidden/>
-  <div id="info"></div>
+
+<!-- ===================== PNG Info ======================================= -->
+<div class="tab" id="tab-pnginfo">
+  <div class="cols">
+    <div class="col-l">
+      <fieldset><legend>Image</legend>
+        <div class="drop" id="pnginfo-drop">drop a generated PNG here</div>
+      </fieldset>
+    </div>
+    <div class="col-r">
+      <fieldset><legend>Parameters</legend>
+        <pre id="pnginfo-out" style="white-space:pre-wrap"></pre>
+        <button id="pnginfo-send">Send to txt2img</button>
+      </fieldset>
+    </div>
+  </div>
 </div>
+
+<!-- ===================== Settings ======================================= -->
+<div class="tab" id="tab-settings">
+  <fieldset><legend>Options</legend>
+    <div class="kv" id="settings-grid"></div>
+    <div class="row" style="margin-top:10px">
+      <button class="primary" id="settings-save">Apply settings</button>
+      <span id="settings-status" class="small"></span>
+    </div>
+  </fieldset>
+  <fieldset><legend>Server</legend>
+    <button class="danger" id="server-stop">Stop server</button>
+  </fieldset>
+</div>
+
+</main>
+<div class="toast" id="toast"></div>
+<div id="lightbox"><img id="lightbox-img"></div>
+
 <script>
-const $ = id => document.getElementById(id);
-async function jget(u) { const r = await fetch(u); return r.json(); }
-async function fill() {
-  const [samplers, scheds, models, opts] = await Promise.all([
-    jget('/sdapi/v1/samplers'), jget('/sdapi/v1/schedulers'),
-    jget('/sdapi/v1/sd-models'), jget('/sdapi/v1/options')]);
-  $('sampler').innerHTML = samplers.map(s => `<option>${s.name}</option>`).join('');
-  $('scheduler').innerHTML = scheds.map(s => `<option value="${s.name}">${s.label}</option>`).join('');
-  $('model').innerHTML = models.map(m => `<option>${m.title}</option>`).join('');
-  if (opts.sd_model_checkpoint) $('model').value = opts.sd_model_checkpoint;
-}
-let polling = null;
-function poll() {
-  polling = setInterval(async () => {
-    const p = await jget('/sdapi/v1/progress?skip_current_image=false');
-    $('bar').style.display = 'block';
-    $('fill').style.width = Math.round(p.progress * 100) + '%';
-    if (p.current_image) { $('img').src = 'data:image/png;base64,' + p.current_image; $('img').hidden = false; }
-  }, 700);
-}
-$('go').onclick = async () => {
-  $('go').disabled = true; poll();
-  try {
-    const body = {
-      prompt: $('prompt').value, negative_prompt: $('negative').value,
-      sampler_name: $('sampler').value, scheduler: $('scheduler').value,
-      steps: +$('steps').value, cfg_scale: +$('cfg').value, seed: +$('seed').value,
-      width: +$('width').value, height: +$('height').value, batch_size: +$('batch').value,
-      override_settings: { sd_model_checkpoint: $('model').value },
-    };
-    const r = await fetch('/sdapi/v1/txt2img', { method: 'POST',
-      headers: {'Content-Type': 'application/json'}, body: JSON.stringify(body) });
-    const data = await r.json();
-    if (data.images && data.images.length) {
-      $('img').src = 'data:image/png;base64,' + data.images[0];
-      $('img').hidden = false;
-      const info = JSON.parse(data.info || '{}');
-      $('info').textContent = (info.infotexts || [''])[0];
-    } else {
-      $('info').textContent = 'error: ' + (data.detail || JSON.stringify(data));
-    }
-  } catch (e) { $('info').textContent = 'error: ' + e; }
-  clearInterval(polling); $('bar').style.display = 'none'; $('go').disabled = false;
+"use strict";
+const $=(s,el)=>(el||document).querySelector(s);
+const $$=(s,el)=>[...(el||document).querySelectorAll(s)];
+const api=async(path,body)=>{
+  const r=await fetch(path,body?{method:"POST",headers:{"Content-Type":"application/json"},
+    body:JSON.stringify(body)}:{});
+  if(!r.ok){const d=await r.json().catch(()=>({detail:r.statusText}));
+    throw new Error(d.detail||r.statusText);}
+  return r.json();
 };
-fill();
+const toast=(msg,ok)=>{const t=$("#toast");t.textContent=msg;
+  t.style.borderColor=ok===false?"var(--err)":"var(--accent)";
+  t.style.display="block";clearTimeout(t._h);t._h=setTimeout(()=>t.style.display="none",3500);};
+
+/* ------- tabs ------- */
+$$("nav.tabs button").forEach(b=>b.onclick=()=>{
+  $$("nav.tabs button").forEach(x=>x.classList.remove("active"));
+  $$(".tab").forEach(x=>x.classList.remove("active"));
+  b.classList.add("active");$("#tab-"+b.dataset.tab).classList.add("active");
+});
+
+/* ------- generation panel template (txt2img & img2img) ------- */
+function sliderRow(id,label,min,max,step,val){
+  return `<div class="row"><label>${label}</label>
+    <input type="range" class="grow" id="${id}" min="${min}" max="${max}" step="${step}" value="${val}"
+      oninput="document.getElementById('${id}-v').textContent=this.value">
+    <span class="val" id="${id}-v">${val}</span></div>`;
+}
+function genPanel(mode){
+  const m=mode;
+  const img2img = m==="img2img" ? `
+  <fieldset><legend>Source image</legend>
+    <div class="drop" id="${m}-drop">drop / paste the init image</div>
+    <div class="row"><label>Inpaint</label>
+      <button id="${m}-mask-toggle">Enable mask brush</button>
+      <button id="${m}-mask-clear">Clear mask</button>
+      <label>Brush</label><input type="range" id="${m}-brush" min="4" max="80" value="24" style="width:90px">
+    </div>
+    ${sliderRow(m+"-denoise","Denoising",0,1,0.01,0.75)}
+    <div class="row"><label>Fill mode</label>
+      <select id="${m}-fill"><option>original</option><option>fill</option>
+      <option value="latent_noise">latent noise</option><option value="latent_nothing">latent nothing</option></select>
+      <label>Mask blur</label><input type="number" id="${m}-maskblur" value="4" style="width:64px">
+      <label><input type="checkbox" id="${m}-fullres"> only masked</label>
+    </div>
+  </fieldset>`:"";
+  return `<div class="cols"><div class="col-l">
+  <fieldset><legend>Prompt</legend>
+    <textarea id="${m}-prompt" placeholder="prompt — supports (emphasis:1.2), [a:b:0.5] editing, AND, <lora:name:w>"></textarea>
+    <textarea id="${m}-negative" placeholder="negative prompt" style="min-height:40px"></textarea>
+  </fieldset>
+  ${img2img}
+  <fieldset><legend>Sampling</legend>
+    <div class="row">
+      <label>Sampler</label><select id="${m}-sampler" class="grow"></select>
+      <label>Schedule</label><select id="${m}-scheduler"></select>
+    </div>
+    ${sliderRow(m+"-steps","Steps",1,150,1,20)}
+    ${sliderRow(m+"-cfg","CFG scale",1,30,0.5,7)}
+    <div class="row">
+      <label>Width</label><input type="number" id="${m}-width" value="512" step="64" min="64" style="width:84px">
+      <label>Height</label><input type="number" id="${m}-height" value="512" step="64" min="64" style="width:84px">
+      <label>Batch</label><input type="number" id="${m}-batch" value="1" min="1" max="8" style="width:64px">
+      <label>Iter</label><input type="number" id="${m}-niter" value="1" min="1" max="16" style="width:64px">
+    </div>
+    <div class="row">
+      <label>Seed</label><input type="number" id="${m}-seed" value="-1" style="width:140px">
+      <button onclick="document.getElementById('${m}-seed').value=-1">&#127922;</button>
+      <button id="${m}-reuse-seed" title="Reuse last seed">&#9851;</button>
+      <label>Clip skip</label><input type="number" id="${m}-clipskip" value="1" min="1" max="12" style="width:56px">
+    </div>
+    <details><summary>Variation seed</summary>
+      <div class="row"><label>Subseed</label><input type="number" id="${m}-subseed" value="-1" style="width:140px">
+      ${sliderRow(m+"-substrength","Strength",0,1,0.01,0)}</div>
+    </details>
+  </fieldset>
+  ${m==="txt2img"?`
+  <fieldset><legend><label><input type="checkbox" id="${m}-hr-enable"> Hires. fix</label></legend>
+    <div class="row">
+      <label>Upscaler</label><select id="${m}-hr-upscaler"><option>Latent</option></select>
+      ${""}
+      <label>Scale</label><input type="number" id="${m}-hr-scale" value="2" step="0.25" min="1" max="4" style="width:64px">
+      <label>Steps</label><input type="number" id="${m}-hr-steps" value="0" min="0" style="width:64px">
+    </div>
+    ${sliderRow(m+"-hr-denoise","HR denoise",0,1,0.01,0.7)}
+    <div class="row"><label>HR model</label><select id="${m}-hr-model"><option value="">(same)</option></select></div>
+  </fieldset>
+  <fieldset><legend>Refiner</legend>
+    <div class="row">
+      <label>Checkpoint</label><select id="${m}-refiner"><option value="">(none)</option></select>
+      ${sliderRow(m+"-refiner-at","Switch at",0.05,0.95,0.05,0.8)}
+    </div>
+  </fieldset>`:""}
+  <fieldset><legend><label><input type="checkbox" id="${m}-cn-enable"> ControlNet</label></legend>
+    <div class="row"><label>Image</label></div>
+    <div class="drop" id="${m}-cn-drop" style="min-height:90px">control image</div>
+    <div class="row">
+      <label>Module</label><select id="${m}-cn-module"></select>
+      <label>Model</label><select id="${m}-cn-model"></select>
+    </div>
+    ${sliderRow(m+"-cn-weight","Weight",0,2,0.05,1)}
+    <div class="row">
+      ${sliderRow(m+"-cn-start","Start",0,1,0.05,0)}
+      ${sliderRow(m+"-cn-end","End",0,1,0.05,1)}
+    </div>
+  </fieldset>
+  </div>
+  <div class="col-r">
+    <div class="row">
+      <button class="primary grow" id="${m}-generate" style="padding:12px">Generate</button>
+      <button id="${m}-interrupt" class="danger">Interrupt</button>
+      <button id="${m}-skip">Skip</button>
+    </div>
+    <div id="progress-wrap-${m}" style="height:6px;background:var(--panel2);border-radius:3px;margin:8px 0;overflow:hidden">
+      <div id="progress-bar-${m}" style="height:100%;width:0%;background:var(--accent)"></div></div>
+    <div id="preview-box" class="pv-${m}"><span class="small">output appears here</span></div>
+    <div class="gallery" id="${m}-gallery"></div>
+    <div id="infotext" class="it-${m}"></div>
+    <div class="row" style="margin-top:6px">
+      <button id="${m}-send-i2i">Send to img2img</button>
+      <button id="${m}-send-extras">Send to extras</button>
+    </div>
+  </div></div>`;
+}
+$("#tab-txt2img").innerHTML=genPanel("txt2img");
+$("#tab-img2img").innerHTML=genPanel("img2img");
+
+/* ------- populate dropdowns ------- */
+const stateImgs={txt2img:{imgs:[],infos:[],sel:0,lastSeed:-1},img2img:{imgs:[],infos:[],sel:0,lastSeed:-1}};
+async function loadLists(){
+  try{
+    const [samplers,scheds,models,upscalers,cnmods,cnmodels]=await Promise.all([
+      api("/sdapi/v1/samplers"),api("/sdapi/v1/schedulers"),api("/sdapi/v1/sd-models"),
+      api("/sdapi/v1/upscalers"),api("/controlnet/module_list"),api("/controlnet/model_list")]);
+    for(const m of ["txt2img","img2img"]){
+      $(`#${m}-sampler`).innerHTML=samplers.map(s=>`<option>${s.name}</option>`).join("");
+      $(`#${m}-scheduler`).innerHTML=scheds.map(s=>`<option value="${s.name}">${s.label}</option>`).join("");
+      $(`#${m}-cn-module`).innerHTML=cnmods.module_list.map(x=>`<option>${x}</option>`).join("");
+      $(`#${m}-cn-model`).innerHTML=["<option value=''>(none)</option>",
+        ...cnmodels.model_list.map(x=>`<option>${x}</option>`)].join("");
+    }
+    $("#sd-model").innerHTML=models.map(x=>`<option value="${x.title}">${x.title}</option>`).join("");
+    const upsOpts=upscalers.map(u=>`<option>${u.name}</option>`).join("");
+    $("#extras-upscaler").innerHTML=upsOpts;
+    $("#txt2img-hr-upscaler").innerHTML="<option>Latent</option>"+upsOpts;
+    $("#txt2img-hr-model").innerHTML="<option value=''>(same)</option>"+
+      models.map(x=>`<option>${x.title}</option>`).join("");
+    $("#txt2img-refiner").innerHTML="<option value=''>(none)</option>"+
+      models.map(x=>`<option>${x.title}</option>`).join("");
+    const o=await api("/sdapi/v1/options");
+    if(o.sd_model_checkpoint)$("#sd-model").value=o.sd_model_checkpoint;
+  }catch(e){toast("list load failed: "+e.message,false);}
+}
+loadLists();
+$("#refresh-models").onclick=async()=>{await api("/sdapi/v1/refresh-checkpoints",{});loadLists();};
+$("#sd-model").onchange=async()=>{
+  $("#model-status").textContent="loading…";
+  try{await api("/sdapi/v1/options",{sd_model_checkpoint:$("#sd-model").value});
+    $("#model-status").textContent="✓";}
+  catch(e){$("#model-status").textContent="✗";toast(e.message,false);}
+};
+
+/* ------- image drops ------- */
+function wireDrop(el,onImage){
+  const read=f=>{const r=new FileReader();r.onload=()=>onImage(r.result);r.readAsDataURL(f);};
+  el.addEventListener("dragover",e=>{e.preventDefault();el.classList.add("over");});
+  el.addEventListener("dragleave",()=>el.classList.remove("over"));
+  el.addEventListener("drop",e=>{e.preventDefault();el.classList.remove("over");
+    if(e.dataTransfer.files[0])read(e.dataTransfer.files[0]);});
+  el.addEventListener("click",()=>{const i=document.createElement("input");
+    i.type="file";i.accept="image/*";i.onchange=()=>i.files[0]&&read(i.files[0]);i.click();});
+  document.addEventListener("paste",e=>{
+    if(!el.closest(".tab").classList.contains("active"))return;
+    for(const it of e.clipboardData.items)if(it.type.startsWith("image")){read(it.getAsFile());break;}
+  });
+}
+const dropData={};
+for(const m of ["txt2img","img2img"]){
+  wireDrop($(`#${m}-cn-drop`),d=>{dropData[m+"-cn"]=d;
+    $(`#${m}-cn-drop`).innerHTML=`<img src="${d}">`;$(`#${m}-cn-enable`).checked=true;});
+}
+/* img2img init image + mask brush */
+let maskOn=false,drawing=false;
+wireDrop($("#img2img-drop"),d=>{
+  dropData["img2img-init"]=d;
+  const box=$("#img2img-drop");box.innerHTML=`<img src="${d}" id="i2i-img"><canvas id="mask-canvas"></canvas>`;
+  const img=$("#i2i-img");img.onload=()=>{
+    const c=$("#mask-canvas");c.width=img.width;c.height=img.height;
+    c.style.width=img.clientWidth+"px";c.style.height=img.clientHeight+"px";
+    wireMask(c,img);};
+});
+function wireMask(c,img){
+  const ctx=c.getContext("2d");
+  const pos=e=>{const r=c.getBoundingClientRect();
+    return [(e.clientX-r.left)*c.width/r.width,(e.clientY-r.top)*c.height/r.height];};
+  c.onmousedown=e=>{if(!maskOn)return;drawing=true;paint(e);};
+  c.onmousemove=e=>{if(drawing)paint(e);};
+  window.addEventListener("mouseup",()=>drawing=false);
+  function paint(e){const [x,y]=pos(e);ctx.fillStyle="rgba(232,131,58,.9)";
+    ctx.beginPath();ctx.arc(x,y,+$("#img2img-brush").value,0,7);ctx.fill();}
+}
+$("#img2img-mask-toggle").onclick=e=>{maskOn=!maskOn;
+  e.target.textContent=maskOn?"Disable mask brush":"Enable mask brush";};
+$("#img2img-mask-clear").onclick=()=>{const c=$("#mask-canvas");
+  if(c)c.getContext("2d").clearRect(0,0,c.width,c.height);};
+function maskB64(){
+  const c=$("#mask-canvas");if(!c)return null;
+  const ctx=c.getContext("2d");const d=ctx.getImageData(0,0,c.width,c.height);
+  let any=false;const out=document.createElement("canvas");
+  out.width=c.width;out.height=c.height;const octx=out.getContext("2d");
+  const od=octx.createImageData(c.width,c.height);
+  for(let i=0;i<d.data.length;i+=4){const a=d.data[i+3];if(a>10)any=true;
+    const v=a>10?255:0;od.data[i]=od.data[i+1]=od.data[i+2]=v;od.data[i+3]=255;}
+  if(!any)return null;octx.putImageData(od,0,0);return out.toDataURL("image/png");
+}
+
+/* ------- generation ------- */
+let polling=null;
+function startPolling(m){
+  const bar=$(`#progress-bar-${m}`);
+  polling=setInterval(async()=>{
+    try{
+      const p=await api("/sdapi/v1/progress");
+      bar.style.width=Math.round((p.progress||0)*100)+"%";
+      if(p.current_image){
+        $(`.pv-${m}`).innerHTML=`<img src="data:image/png;base64,${p.current_image}">`;}
+    }catch(e){}
+  },700);
+}
+function stopPolling(m){clearInterval(polling);polling=null;
+  $(`#progress-bar-${m}`).style.width="0%";}
+
+function payloadFor(m){
+  const v=id=>$(`#${m}-${id}`).value;
+  const pl={
+    prompt:v("prompt"),negative_prompt:v("negative"),
+    sampler_name:v("sampler"),scheduler:v("scheduler"),
+    steps:+v("steps"),cfg_scale:+v("cfg"),
+    width:+v("width"),height:+v("height"),
+    batch_size:+v("batch"),n_iter:+v("niter"),
+    seed:+v("seed"),subseed:+v("subseed"),subseed_strength:+v("substrength"),
+    clip_skip:+v("clipskip"),
+  };
+  if(m==="txt2img"){
+    if($(`#${m}-hr-enable`).checked){
+      pl.enable_hr=true;pl.hr_scale=+v("hr-scale");
+      pl.hr_upscaler=v("hr-upscaler");pl.hr_second_pass_steps=+v("hr-steps");
+      pl.hr_denoising_strength=+v("hr-denoise");
+      if(v("hr-model"))pl.hr_checkpoint_name=v("hr-model");
+    }
+    if(v("refiner")){pl.refiner_checkpoint=v("refiner");pl.refiner_switch_at=+v("refiner-at");}
+  }else{
+    pl.init_images=[dropData["img2img-init"]?.split(",")[1]].filter(Boolean);
+    pl.denoising_strength=+v("denoise");
+    pl.inpainting_fill=v("fill");pl.mask_blur=+v("maskblur");
+    pl.inpaint_full_res=$(`#${m}-fullres`).checked;
+    const mk=maskB64();if(mk)pl.mask=mk.split(",")[1];
+  }
+  if($(`#${m}-cn-enable`).checked&&dropData[m+"-cn"]&&v("cn-model")){
+    pl.alwayson_scripts={controlnet:{args:[{
+      enabled:true,module:v("cn-module"),model:v("cn-model"),
+      image:dropData[m+"-cn"].split(",")[1],weight:+v("cn-weight"),
+      guidance_start:+v("cn-start"),guidance_end:+v("cn-end")}]}};
+  }
+  return pl;
+}
+function showResult(m,res){
+  const st=stateImgs[m];
+  st.imgs=res.images;const info=JSON.parse(res.info||"{}");
+  st.infos=info.infotexts||[];st.lastSeed=info.seed??-1;st.sel=0;
+  const gal=$(`#${m}-gallery`);
+  gal.innerHTML=st.imgs.map((b,i)=>`<img src="data:image/png;base64,${b}" data-i="${i}" class="${i?'':'sel'}">`).join("");
+  $$(`#${m}-gallery img`).forEach(im=>{
+    im.onclick=()=>{st.sel=+im.dataset.i;
+      $$(`#${m}-gallery img`).forEach(x=>x.classList.remove("sel"));im.classList.add("sel");
+      $(`.pv-${m}`).innerHTML=`<img src="data:image/png;base64,${st.imgs[st.sel]}">`;
+      $(`.it-${m}`).textContent=st.infos[st.sel]||"";};
+    im.ondblclick=()=>{$("#lightbox-img").src=im.src;$("#lightbox").style.display="flex";};
+  });
+  if(st.imgs[0]){
+    $(`.pv-${m}`).innerHTML=`<img src="data:image/png;base64,${st.imgs[0]}">`;
+    $(`.it-${m}`).textContent=st.infos[0]||"";
+  }
+}
+for(const m of ["txt2img","img2img"]){
+  $(`#${m}-generate`).onclick=async()=>{
+    const btn=$(`#${m}-generate`);btn.disabled=true;btn.textContent="Generating…";
+    startPolling(m);
+    try{
+      const res=await api(`/sdapi/v1/${m}`,payloadFor(m));
+      showResult(m,res);
+    }catch(e){toast(e.message,false);}
+    finally{stopPolling(m);btn.disabled=false;btn.textContent="Generate";}
+  };
+  $(`#${m}-interrupt`).onclick=()=>api("/sdapi/v1/interrupt",{});
+  $(`#${m}-skip`).onclick=()=>api("/sdapi/v1/skip",{});
+  $(`#${m}-reuse-seed`).onclick=()=>{$(`#${m}-seed`).value=stateImgs[m].lastSeed;};
+  $(`#${m}-send-i2i`).onclick=()=>{
+    const st=stateImgs[m];if(!st.imgs.length)return;
+    dropData["img2img-init"]="data:image/png;base64,"+st.imgs[st.sel];
+    $("#img2img-drop").innerHTML=`<img src="${dropData["img2img-init"]}" id="i2i-img">`;
+    $("#img2img-prompt").value=$(`#${m}-prompt`).value;
+    $$("nav.tabs button")[1].click();
+  };
+  $(`#${m}-send-extras`).onclick=()=>{
+    const st=stateImgs[m];if(!st.imgs.length)return;
+    dropData["extras"]="data:image/png;base64,"+st.imgs[st.sel];
+    $("#extras-drop").innerHTML=`<img src="${dropData["extras"]}">`;
+    $$("nav.tabs button")[2].click();
+  };
+}
+$("#lightbox").onclick=()=>$("#lightbox").style.display="none";
+
+/* ------- extras ------- */
+wireDrop($("#extras-drop"),d=>{dropData["extras"]=d;
+  $("#extras-drop").innerHTML=`<img src="${d}">`;});
+$("#extras-scale").oninput=e=>$("#extras-scale-v").textContent=e.target.value;
+$("#extras-run").onclick=async()=>{
+  if(!dropData["extras"])return toast("drop an image first",false);
+  try{
+    const res=await api("/sdapi/v1/extra-single-image",{
+      image:dropData["extras"].split(",")[1],
+      upscaling_resize:+$("#extras-scale").value,
+      upscaler_1:$("#extras-upscaler").value});
+    $("#extras-out").innerHTML=`<img src="data:image/png;base64,${res.image}" style="max-width:90%">`;
+  }catch(e){toast(e.message,false);}
+};
+
+/* ------- png info ------- */
+wireDrop($("#pnginfo-drop"),async d=>{
+  $("#pnginfo-drop").innerHTML=`<img src="${d}">`;
+  try{
+    const res=await api("/sdapi/v1/png-info",{image:d.split(",")[1]});
+    $("#pnginfo-out").textContent=res.info||"(no parameters found)";
+    window._pngparams=res.parameters||null;
+  }catch(e){toast(e.message,false);}
+});
+$("#pnginfo-send").onclick=()=>{
+  const p=window._pngparams;if(!p)return;
+  const set=(id,v)=>{if(v===undefined||v===null)return;const el=$("#txt2img-"+id);
+    if(!el)return;el.value=v;const vv=$(`#txt2img-${id}-v`);if(vv)vv.textContent=v;};
+  // infotext parser returns Title-case keys (reference parse_generation_parameters)
+  set("prompt",p["Prompt"]);set("negative",p["Negative prompt"]);
+  set("steps",p["Steps"]);set("cfg",p["CFG scale"]);set("seed",p["Seed"]);
+  if(p["Size"]){const wh=String(p["Size"]).split("x");set("width",wh[0]);set("height",wh[1]);}
+  if(p["Sampler"])$("#txt2img-sampler").value=p["Sampler"];
+  if(p["Schedule type"])$("#txt2img-scheduler").value=String(p["Schedule type"]).toLowerCase();
+  $$("nav.tabs button")[0].click();
+};
+
+/* ------- settings ------- */
+async function loadSettings(){
+  try{
+    const o=await api("/sdapi/v1/options");
+    $("#settings-grid").innerHTML=Object.entries(o).map(([k,v])=>{
+      const t=typeof v==="boolean"?`<input type="checkbox" data-k="${k}" ${v?"checked":""}>`:
+        `<input type="text" data-k="${k}" value="${v===null?"":v}">`;
+      return `<label>${k}</label>${t}`;}).join("");
+  }catch(e){}
+}
+loadSettings();
+$("#settings-save").onclick=async()=>{
+  const out={};
+  $$("#settings-grid [data-k]").forEach(el=>{
+    out[el.dataset.k]=el.type==="checkbox"?el.checked:
+      (el.value===""?null:(isNaN(+el.value)||el.value.trim()===""?el.value:+el.value));});
+  try{await api("/sdapi/v1/options",out);
+    $("#settings-status").textContent="saved ✓";}
+  catch(e){$("#settings-status").textContent="✗ "+e.message;}
+};
+$("#server-stop").onclick=()=>api("/sdapi/v1/server-stop",{}).catch(()=>{});
+
+/* memory footer */
+setInterval(async()=>{
+  try{const mWrap=await api("/sdapi/v1/memory");
+    const dev=(mWrap.tpu||mWrap.cuda||{});const used=dev.used||dev.active&&dev.active.current;
+    if(used)$("#mem-status").textContent=`HBM ${(used/2**30).toFixed(1)} GiB`;
+  }catch(e){}
+},10000);
 </script>
 </body>
-</html>"""
+</html>
+"""

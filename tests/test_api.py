@@ -1,0 +1,115 @@
+"""REST API contract tests (reference /sdapi/v1/* surface, modules/api/api.py
+:211-249) driven against an in-process server with a tiny synthetic engine —
+the automated form of upstream A1111's --test-server suite (SURVEY.md §4)."""
+
+import base64
+import json
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from fixtures import make_tiny_engine
+
+PORT = 7899
+
+
+@pytest.fixture(scope="module")
+def server():
+    from forge_tpu.api.server import create_server
+    from forge_tpu.runtime.models import ModelManager
+
+    mm = ModelManager()
+    mm.set_engine(make_tiny_engine())
+    srv = create_server(mm, "127.0.0.1", PORT)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(path):
+    return json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{PORT}{path}", timeout=300).read())
+
+
+def _post(path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}", json.dumps(body).encode(),
+        {"Content-Type": "application/json"})
+    return json.loads(urllib.request.urlopen(req, timeout=300).read())
+
+
+PAYLOAD = {"prompt": "a cat", "seed": 5, "steps": 2, "width": 32, "height": 32,
+           "sampler_name": "Euler", "cfg_scale": 7.0}
+
+
+def test_listings(server):
+    assert any(s["name"] == "UniPC" for s in _get("/sdapi/v1/samplers"))
+    assert any(s["name"] == "karras" for s in _get("/sdapi/v1/schedulers"))
+    assert isinstance(_get("/sdapi/v1/upscalers"), list)
+    assert "module_list" in _get("/controlnet/module_list")
+    assert isinstance(_get("/sdapi/v1/options"), dict)
+    assert _get("/internal/ping") == {}
+
+
+def test_index_serves_ui(server):
+    html = urllib.request.urlopen(f"http://127.0.0.1:{PORT}/", timeout=60).read().decode()
+    assert "<title>forge-tpu</title>" in html
+    # panels are built from a JS template: check the template + static anchors
+    for anchor in ("-generate", "genPanel", "sdapi/v1/progress", "mask-canvas",
+                   "settings-grid", "pnginfo-drop", "cn-module", "alwayson_scripts",
+                   "refiner", "hr-upscaler", "sdapi/v1/png-info",
+                   "sdapi/v1/extra-single-image"):
+        assert anchor in html, f"UI missing {anchor}"
+
+
+def test_txt2img_and_pnginfo_roundtrip(server):
+    r = _post("/sdapi/v1/txt2img", PAYLOAD)
+    assert len(r["images"]) == 1
+    info = json.loads(r["info"])
+    assert info["seed"] == 5
+    pi = _post("/sdapi/v1/png-info", {"image": r["images"][0]})
+    assert "Steps: 2" in pi["info"]
+    assert pi["parameters"]["Prompt"] == "a cat"
+
+    # determinism through the full HTTP stack
+    r2 = _post("/sdapi/v1/txt2img", PAYLOAD)
+    assert r["images"][0] == r2["images"][0]
+
+
+def test_img2img(server):
+    src = _post("/sdapi/v1/txt2img", PAYLOAD)["images"][0]
+    r = _post("/sdapi/v1/img2img", {**PAYLOAD, "init_images": [src],
+                                    "denoising_strength": 0.6})
+    assert len(r["images"]) == 1
+
+
+def test_extras(server):
+    src = _post("/sdapi/v1/txt2img", PAYLOAD)["images"][0]
+    r = _post("/sdapi/v1/extra-single-image",
+              {"image": src, "upscaling_resize": 2, "upscaler_1": "Lanczos"})
+    raw = base64.b64decode(r["image"])
+    from PIL import Image
+    import io
+
+    img = Image.open(io.BytesIO(raw))
+    assert img.size == (64, 64)
+
+
+def test_unknown_alwayson_rejected(server):
+    try:
+        _post("/sdapi/v1/txt2img", {**PAYLOAD, "alwayson_scripts": {"bogus": {"args": []}}})
+        raise AssertionError("expected 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+
+
+def test_options_roundtrip(server):
+    _post("/sdapi/v1/options", {"CLIP_stop_at_last_layers": 2})
+    assert _get("/sdapi/v1/options")["CLIP_stop_at_last_layers"] == 2
+    _post("/sdapi/v1/options", {"CLIP_stop_at_last_layers": 1})
