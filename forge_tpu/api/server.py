@@ -70,6 +70,12 @@ class ApiError(Exception):
 
 def _processing_from_payload(payload: Dict[str, Any]) -> Processing:
     kwargs = {}
+    # reference api.py:301-351 apply_infotext: an `infotext` field seeds the
+    # request params; explicit payload fields override what it sets
+    if payload.get("infotext"):
+        from ..pipeline.infotext import infotext_to_processing_args
+
+        kwargs.update(infotext_to_processing_args(payload["infotext"]))
     for key, value in payload.items():
         field = _API_ALIASES.get(key, key)
         if field and field in _PROCESSING_FIELDS:

@@ -55,6 +55,19 @@ def parse_prompts(prompts: List[str]) -> Tuple[List[str], List[ExtraNetworkParam
     return cleaned, first
 
 
+def _short_file_hash(path: str, _cache: Dict[str, str] = {}) -> str:
+    """10-hex partial sha256 over the file head — same identity scheme as
+    CheckpointInfo.short_hash (reference hashes.py sha256-with-cache)."""
+    if path not in _cache:
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            h.update(f.read(1 << 20))
+        _cache[path] = h.hexdigest()[:10]
+    return _cache[path]
+
+
 class LoraRegistry:
     """LoRA file discovery + state-dict LRU (reference networks.py:56)."""
 
@@ -94,15 +107,28 @@ def activate(
     engine,
     prompts: List[str],
     registry: Optional[LoraRegistry] = None,
+    p=None,
 ) -> Tuple[List[str], Any, Dict[str, Any]]:
     """→ (cleaned_prompts, patched_unet_params, {te_name: patched_params}).
 
     Unknown network kinds are stripped with a warning (the reference raises
-    for unknown kinds; we keep generation alive and report)."""
+    for unknown kinds; we keep generation alive and report). When ``p`` is
+    given, records the "Lora hashes" infotext key (reference
+    extra_networks_lora.py:56)."""
     cleaned, networks = parse_prompts(prompts)
     loras = [n for n in networks if n.kind == "lora" or n.kind == "lyco"]
     if not loras or registry is None:
         return cleaned, engine.loaded.unet, {}
+
+    if p is not None:
+        hashes = {}
+        for n in loras:
+            path = registry.available.get(n.name)
+            if path:
+                hashes[n.name] = _short_file_hash(path)
+        if hashes:
+            p.extra_generation_params["Lora hashes"] = ", ".join(
+                f"{k}: {v}" for k, v in hashes.items())
 
     unet_keys = flatten(engine.loaded.unet).keys()
     te_keys = {name: flatten(te.params).keys() for name, te in engine.text_engines.items()}

@@ -102,6 +102,39 @@ def apply_filename_pattern(pattern: str, seed: int = 0, prompt: str = "", **extr
     return out or str(seed)
 
 
+def _match_histogram_channel(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    """CDF histogram matching of one channel (the skimage match_histograms
+    algorithm the reference relies on, done directly in numpy)."""
+    s_values, bin_idx, s_counts = np.unique(
+        src.ravel(), return_inverse=True, return_counts=True)
+    t_values, t_counts = np.unique(tgt.ravel(), return_counts=True)
+    s_quantiles = np.cumsum(s_counts) / src.size
+    t_quantiles = np.cumsum(t_counts) / tgt.size
+    mapped = np.interp(s_quantiles, t_quantiles, t_values)
+    return mapped[bin_idx].reshape(src.shape)
+
+
+def setup_color_correction(image: np.ndarray) -> np.ndarray:
+    """Snapshot the init image's LAB histogram target (reference
+    processing.py:745 setup_color_correction)."""
+    import cv2
+
+    return cv2.cvtColor(np.asarray(image, np.uint8), cv2.COLOR_RGB2LAB)
+
+
+def apply_color_correction(correction: np.ndarray, image: np.ndarray) -> np.ndarray:
+    """Histogram-match a generated image to the init image in LAB space
+    (reference processing.py:751 apply_color_correction)."""
+    import cv2
+
+    lab = cv2.cvtColor(np.asarray(image, np.uint8), cv2.COLOR_RGB2LAB)
+    matched = np.stack([
+        _match_histogram_channel(lab[..., c], correction[..., c])
+        for c in range(3)
+    ], axis=-1).astype(np.uint8)
+    return cv2.cvtColor(matched, cv2.COLOR_LAB2RGB)
+
+
 def image_grid(images: List[np.ndarray], rows: Optional[int] = None) -> np.ndarray:
     n = len(images)
     if rows is None:
@@ -116,70 +149,11 @@ def image_grid(images: List[np.ndarray], rows: Optional[int] = None) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
-# infotext parsing (reference infotext_utils.py:251 parse_generation_parameters)
+# infotext parsing — canonical implementation lives in pipeline/infotext.py
+# (full reference-parity serializer/parser); re-exported here for callers.
 
-_PARAM_RE = re.compile(r'\s*(\w[\w \-/]+):\s*("(?:\\.|[^\\"])+"|[^,]*)(?:,|$)')
+from .infotext import (  # noqa: E402,F401
+    infotext_to_processing_args,
+    parse_generation_parameters,
+)
 
-
-def parse_generation_parameters(text: str) -> Dict[str, Any]:
-    """Infotext → {param: value} incl. Prompt / Negative prompt."""
-    res: Dict[str, Any] = {}
-    if not text:
-        return res
-    *prompt_lines, lastline = text.strip().split("\n")
-    if len(_PARAM_RE.findall(lastline)) < 3:
-        prompt_lines.append(lastline)
-        lastline = ""
-
-    prompt, negative = [], []
-    in_negative = False
-    for line in prompt_lines:
-        stripped = line.strip()
-        if stripped.startswith("Negative prompt:"):
-            in_negative = True
-            stripped = stripped[len("Negative prompt:"):].strip()
-        (negative if in_negative else prompt).append(stripped)
-
-    res["Prompt"] = "\n".join(prompt)
-    res["Negative prompt"] = "\n".join(negative)
-
-    for key, value in _PARAM_RE.findall(lastline):
-        if value.startswith('"') and value.endswith('"'):
-            value = value[1:-1].replace('\\"', '"').replace("\\\\", "\\")
-        res[key.strip()] = value.strip()
-
-    if "Size" in res and "x" in str(res["Size"]):
-        w, h = res["Size"].split("x")
-        res["Width"], res["Height"] = int(w), int(h)
-    return res
-
-
-def infotext_to_processing_args(text: str) -> Dict[str, Any]:
-    """Map parsed infotext keys onto Processing field names (the paste-back
-    binding, reference infotext_utils.py:113-196)."""
-    d = parse_generation_parameters(text)
-    out: Dict[str, Any] = {}
-    mapping = {
-        "Prompt": ("prompt", str),
-        "Negative prompt": ("negative_prompt", str),
-        "Steps": ("steps", int),
-        "Sampler": ("sampler_name", str),
-        "Schedule type": ("scheduler", str),
-        "CFG scale": ("cfg_scale", float),
-        "Seed": ("seed", int),
-        "Width": ("width", int),
-        "Height": ("height", int),
-        "Denoising strength": ("denoising_strength", float),
-        "Clip skip": ("clip_skip", int),
-        "ENSD": ("eta_noise_seed_delta", int),
-        "Variation seed": ("subseed", int),
-        "Variation seed strength": ("subseed_strength", float),
-        "Hires upscale": ("hr_scale", float),
-    }
-    for key, (field, cast) in mapping.items():
-        if key in d and d[key] != "":
-            try:
-                out[field] = cast(d[key])
-            except (TypeError, ValueError):
-                pass
-    return out

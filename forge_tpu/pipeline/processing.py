@@ -54,6 +54,19 @@ class Processing:
     eta_noise_seed_delta: int = 0
     cfg_rescale: float = 0.0
     distilled_cfg_scale: float = 3.5  # Flux guidance embed
+    tiling: bool = False
+    restore_faces: bool = False
+    image_cfg_scale: Optional[float] = None  # instruct-pix2pix style
+    user: Optional[str] = None
+    # filled from the live engine/model manager for infotext (reference
+    # processing.py:688-698 Model/Model hash keys)
+    sd_model_name: Optional[str] = None
+    sd_model_hash: Optional[str] = None
+    init_img_hash: Optional[str] = None
+    initial_noise_multiplier: float = 1.0
+    # extension mechanism: stages/scripts add infotext keys here (reference
+    # processing.py:686-711 extra_generation_params)
+    extra_generation_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     # img2img
     init_images: Optional[List[np.ndarray]] = None  # [H,W,3] uint8/float
     denoising_strength: float = 0.75
@@ -66,6 +79,8 @@ class Processing:
     # hires fix
     enable_hr: bool = False
     hr_scale: float = 2.0
+    hr_resize_x: int = 0  # explicit target size overrides hr_scale
+    hr_resize_y: int = 0
     hr_second_pass_steps: int = 0
     hr_upscaler: str = "Latent"
     hr_denoising_strength: float = 0.7
@@ -310,11 +325,97 @@ def _prepare_noise(p: Processing, rng: ImageRNG, info, n_steps: int,
 _PHASE = {}
 
 
+def _apply_option_defaults(p: Processing) -> None:
+    """Fields the reference seeds from opts at Processing init
+    (processing.py:123-220: s_churn/s_tmin/s_noise/eta defaults, img2img
+    noise multiplier). Only fills values the caller left at the dataclass
+    default, so explicit request params always win."""
+    from ..runtime.options import opts
+
+    def opt(key, default):
+        try:
+            return opts.get(key)
+        except KeyError:
+            return default
+
+    if p.s_churn == 0.0:
+        p.s_churn = float(opt("s_churn", 0.0))
+    if p.s_noise == 1.0:
+        p.s_noise = float(opt("s_noise", 1.0))
+    if p.eta == 1.0:
+        p.eta = float(opt("eta_ancestral", 1.0))
+    if p.eta_ddim == 0.0:
+        p.eta_ddim = float(opt("eta_ddim", 0.0))
+    if p.eta_noise_seed_delta == 0:
+        p.eta_noise_seed_delta = int(opt("eta_noise_seed_delta", 0))
+    if p.clip_skip <= 1:
+        p.clip_skip = int(opt("CLIP_stop_at_last_layers", 1))
+    if p.init_images is not None and p.initial_noise_multiplier == 1.0:
+        p.initial_noise_multiplier = float(opt("initial_noise_multiplier", 1.0))
+
+
+def _record_generation_params(engine: DiffusionEngine, p: Processing) -> None:
+    """Fill the infotext extra keys the reference records at the equivalent
+    pipeline stages (sd_samplers_common.py:300-340 eta/sigma keys,
+    sd_samplers_kdiffusion.py:85 discard-penultimate, processing.py:1247-1340
+    hires keys, :1684-1848 mask keys, sd_samplers_common.py:189 refiner)."""
+    info = get_sampler(p.sampler_name)
+    eg = p.extra_generation_params
+    p._engine_family = engine.family
+    if p.sd_model_name is None:
+        name = getattr(engine, "checkpoint_name", None)
+        if name:
+            p.sd_model_name = name.rsplit(".", 1)[0]
+    if p.sd_model_hash is None:
+        p.sd_model_hash = getattr(engine, "checkpoint_hash", None)
+
+    if info.discard_next_to_last_sigma:
+        eg["Discard penultimate sigma"] = "True"
+    if info.noise_draws > 0 and info.uses_ensd and p.eta != 1.0:
+        eg["Eta"] = p.eta
+    if info.uses_eta_ddim and p.eta_ddim > 0:
+        eg["Eta DDIM"] = p.eta_ddim
+    if p.s_churn:
+        eg["Sigma churn"] = p.s_churn
+    if p.s_noise != 1.0:
+        eg["Sigma noise"] = p.s_noise
+
+    if p.init_images is not None:
+        eg["Denoising strength"] = p.denoising_strength
+        if p.inpaint_mask is not None:
+            eg["Mask blur"] = p.mask_blur if p.mask_blur else None
+            if p.inpainting_mask_invert:
+                eg["Mask mode"] = "Inpaint not masked"
+            if p.inpaint_full_res:
+                eg["Inpaint area"] = "Only masked"
+                eg["Masked area padding"] = p.inpaint_full_res_padding
+            if p.inpainting_fill != "original":
+                eg["Masked content"] = p.inpainting_fill.replace("_", " ")
+        if p.initial_noise_multiplier != 1.0:
+            eg["Noise multiplier"] = p.initial_noise_multiplier
+    elif p.enable_hr:
+        eg["Denoising strength"] = p.hr_denoising_strength
+        eg["Hires upscale"] = p.hr_scale
+        if p.hr_resize_x and p.hr_resize_y:
+            eg["Hires resize"] = f"{p.hr_resize_x}x{p.hr_resize_y}"
+        if p.hr_second_pass_steps:
+            eg["Hires steps"] = p.hr_second_pass_steps
+        eg["Hires upscaler"] = p.hr_upscaler
+        if p.hr_checkpoint_name:
+            eg["Hires checkpoint"] = p.hr_checkpoint_name
+
+    if p.refiner_checkpoint and 0.0 < p.refiner_switch_at < 1.0:
+        eg["Refiner"] = p.refiner_checkpoint
+        eg["Refiner switch at"] = p.refiner_switch_at
+
+
 def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     t0 = time.time()
     _PHASE.clear()
     _resolve_seeds(p)
+    _apply_option_defaults(p)
     engine.set_clip_skip(p.clip_skip)
+    _record_generation_params(engine, p)
 
     runner = p.scripts
     if runner is not None:
@@ -353,7 +454,7 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
         prompts, unet_params, patched_tes = activate_networks(
             engine, [p.prompt] * p.batch_size,
-            registry=getattr(engine, "lora_registry", None),
+            registry=getattr(engine, "lora_registry", None), p=p,
         )
         negs = [parse_prompt_networks_stripped(p.negative_prompt)] * p.batch_size
 
@@ -402,6 +503,11 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             batch_images = runner.postprocess_batch(p, batch_images, batch_number=it)
         for b in range(p.batch_size):
             img = batch_images[b]
+            if is_img2img and _color_correction_enabled():
+                from .images import apply_color_correction, setup_color_correction
+
+                src = p.init_images[min(b, len(p.init_images) - 1)]
+                img = apply_color_correction(setup_color_correction(src), img)
             if is_img2img and p.inpaint_mask is not None:
                 img = _composite_inpaint(p, img, p.init_images[min(b, len(p.init_images) - 1)])
             if runner is not None:
@@ -422,11 +528,31 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     )
     if runner is not None:
         runner.postprocess(p, processed)
+    if infotexts:
+        from ..runtime.options import opts as _o
+
+        try:
+            save_params = bool(_o.get("save_write_params_txt"))
+        except KeyError:
+            save_params = True
+        if save_params:
+            from .infotext import write_params_txt
+
+            write_params_txt(infotexts[0])
     return processed
 
 
 def _tree_bytes(tree) -> int:
     return sum(getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree))
+
+
+def _color_correction_enabled() -> bool:
+    from ..runtime.options import opts
+
+    try:
+        return bool(opts.get("img2img_color_correction"))
+    except KeyError:
+        return False
 
 
 def _nan_check_enabled() -> bool:
@@ -612,10 +738,19 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     return _decode_to_uint8(engine_out, latent, p)
 
 
-def _latent_upscale(latent: jax.Array, scale: float) -> jax.Array:
+def _latent_upscale(latent: jax.Array, scale: float,
+                    target: Optional[Tuple[int, int]] = None) -> jax.Array:
     b, h, w, c = latent.shape
-    nh, nw = int(h * scale), int(w * scale)
+    nh, nw = target if target else (int(h * scale), int(w * scale))
     return jax.image.resize(latent, (b, nh, nw, c), method="bilinear")
+
+
+def _hr_target(p: Processing) -> Optional[Tuple[int, int]]:
+    """Explicit hires resize-to dimensions (latent units), overriding
+    hr_scale (reference processing.py:1249-1275 hr_resize_x/y)."""
+    if p.hr_resize_x > 0 and p.hr_resize_y > 0:
+        return (p.hr_resize_y // 8, p.hr_resize_x // 8)
+    return None
 
 
 def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=None):
@@ -623,18 +758,25 @@ def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=No
     'Latent' mode interpolates in latent space; any other upscaler name
     decodes, upscales in pixel space (GAN/Lanczos), and re-encodes."""
     info = get_sampler(p.sampler_name)
+    target = _hr_target(p)
     if p.hr_upscaler and p.hr_upscaler != "Latent":
         from .upscalers import UpscalerRegistry
 
         registry = getattr(engine, "upscalers", None) or UpscalerRegistry()
         imgs = np.asarray(engine.decode_to_uint8(latent))
+        scale = (target[0] * 8 / imgs.shape[1]) if target else p.hr_scale
         ups = np.stack([
-            np.asarray(registry.get(p.hr_upscaler).upscale(img, p.hr_scale))
+            np.asarray(registry.get(p.hr_upscaler).upscale(img, scale))
             for img in imgs
         ]).astype(np.float32) / 255.0 * 2.0 - 1.0
+        if target and ups.shape[1:3] != (target[0] * 8, target[1] * 8):
+            ups = np.asarray(jax.image.resize(
+                jnp.asarray(ups),
+                (ups.shape[0], target[0] * 8, target[1] * 8, ups.shape[3]),
+                method="bilinear"))
         latent = engine.encode_first_stage(jnp.asarray(ups)).astype(jnp.float32)
     else:
-        latent = _latent_upscale(latent, p.hr_scale)
+        latent = _latent_upscale(latent, p.hr_scale, target=target)
     b, h8, w8, lc = latent.shape
 
     steps = p.hr_second_pass_steps or p.steps
@@ -730,9 +872,23 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     if p.inpainting_fill == "latent_noise" and mask_latent is not None:
         init_latent = init_latent + noise0 * mask_latent * float(sigmas[0])
 
+    # reference processing.py:1848: the initial img2img noise is scaled by
+    # the noise multiplier; sd_samplers_kdiffusion.py:148: extra_noise adds
+    # unscaled noise on top of the noised latent
+    if p.initial_noise_multiplier != 1.0:
+        noise0 = noise0 * p.initial_noise_multiplier
     x = jnp.asarray(engine.predictor.noise_scaling(
         np.float32(sigmas[0]), noise0, np.asarray(init_latent, np.float32), max_denoise=False,
     ))
+    try:
+        from ..runtime.options import opts as _o
+
+        extra_noise = float(_o.get("img2img_extra_noise"))
+    except KeyError:
+        extra_noise = 0.0
+    if extra_noise > 0:
+        p.extra_generation_params["Extra noise"] = extra_noise
+        x = x + jnp.asarray(noise0) * extra_noise
 
     latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
                           skip_uncond=(p.cfg_scale == 1.0),
@@ -803,20 +959,6 @@ def _composite_inpaint(p: Processing, generated: np.ndarray, original) -> np.nda
 
 
 def create_infotext(p: Processing, seed: int, subseed: int) -> str:
-    pairs = [
-        ("Steps", p.steps),
-        ("Sampler", p.sampler_name),
-        ("Schedule type", p.scheduler if p.scheduler != "automatic" else None),
-        ("CFG scale", p.cfg_scale),
-        ("Seed", seed),
-        ("Size", f"{p.width}x{p.height}"),
-        ("Denoising strength", p.denoising_strength if p.init_images is not None or p.enable_hr else None),
-        ("Clip skip", p.clip_skip if p.clip_skip > 1 else None),
-        ("ENSD", p.eta_noise_seed_delta or None),
-        ("Variation seed", subseed if p.subseed_strength else None),
-        ("Variation seed strength", p.subseed_strength or None),
-        ("Hires upscale", p.hr_scale if p.enable_hr else None),
-    ]
-    settings = ", ".join(f"{k}: {v}" for k, v in pairs if v is not None)
-    neg = f"\nNegative prompt: {p.negative_prompt}" if p.negative_prompt else ""
-    return f"{p.prompt}{neg}\n{settings}"
+    from .infotext import create_infotext as _create
+
+    return _create(p, seed, subseed)

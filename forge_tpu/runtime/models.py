@@ -123,6 +123,9 @@ class ModelManager:
                 info.path, additional_modules=additional,
                 embeddings_dir=self.embeddings_dir, **kwargs
             )
+            # identity metadata for infotext (reference sd_models hash cache)
+            self._engine.checkpoint_name = info.name
+            self._engine.checkpoint_hash = info.short_hash()
             self._loading_key = key
         from .scripts import fire
 
