@@ -104,7 +104,7 @@ def _apply_alwayson_scripts(p: Processing, scripts: Dict[str, Any]) -> None:
             from ..extensions.controlnet import attach_units
 
             attach_units(p, [a for a in args if isinstance(a, dict)])
-        elif low == "freeu":
+        elif low in ("freeu", "freeu integrated"):
             from ..extensions.freeu import build_freeu_hooks
 
             vals = args if args and isinstance(args[0], (int, float)) else [
@@ -114,9 +114,73 @@ def _apply_alwayson_scripts(p: Processing, scripts: Dict[str, Any]) -> None:
             p.unet_hooks = {**(p.unet_hooks or {}), **hooks}
         elif low in ("lora", "extra networks"):
             pass  # loras ride the <lora:...> prompt syntax; nothing to do
+        elif low in ("latent modifier", "latentmodifier", "latent mega modifier"):
+            from ..extensions.latent_modifier import attach as attach_lm
+
+            attach_lm(p, _first_dict(args))
+        elif low in ("fooocus inpaint", "fooocus_inpaint"):
+            from ..extensions.fooocus_inpaint import attach as attach_fi
+
+            attach_fi(p, _first_dict(args))
+        elif low in ("controlllite", "controllllite", "control lllite"):
+            from ..extensions.controllllite import attach as attach_cl
+
+            attach_cl(p, _first_dict(args))
+        elif low in ("soft inpainting", "soft_inpainting"):
+            from ..extensions.soft_inpainting import attach as attach_soft
+
+            attach_soft(p, _first_dict(args))
+        elif low in ("stylealign", "style align", "stylealign integrated"):
+            from ..extensions.stylealign import attach as attach_stylealign
+
+            attach_stylealign(p, _first_dict(args))
+        elif low in ("dynamic thresholding", "dynamic thresholding (cfg scale fix)",
+                     "dynamicthresholding"):
+            from ..extensions.dynamic_thresholding import attach as attach_dt
+
+            attach_dt(p, _first_dict(args))
+        elif low in ("kohya hrfix", "kohya hrfix integrated", "kohya_hrfix"):
+            from ..extensions.kohya_hrfix import attach as attach_kohya
+
+            attach_kohya(p, _first_dict(args))
+        elif low in ("sag", "self attention guidance",
+                     "selfattentionguidance integrated"):
+            a = _first_dict(args)
+            scale = float(a.get("scale", a.get("sag_scale", 0.75)))
+            blur = float(a.get("blur_sigma", 2.0))
+
+            def attach_sag(engine, pp, cond, uncond, _s=scale, _b=blur):
+                from ..extensions.sag import build_sag
+
+                hooks, post_cfg = build_sag(engine, cond, sag_scale=_s, blur_sigma=_b)
+                pp.unet_hooks = {**(pp.unet_hooks or {}), **hooks}
+                pp.post_cfg_hooks = list(pp.post_cfg_hooks or []) + [post_cfg]
+
+            p.deferred_hooks = list(p.deferred_hooks or []) + [attach_sag]
+        elif low in ("pag", "perturbed attention", "perturbed attention guidance",
+                     "perturbedattentionguidance integrated"):
+            a = _first_dict(args)
+            scale = float(a.get("scale", a.get("pag_scale", 3.0)))
+
+            def attach_pag(engine, pp, cond, uncond, _s=scale):
+                from ..extensions.pag import build_pag_post_cfg
+
+                pp.post_cfg_hooks = list(pp.post_cfg_hooks or []) + [
+                    build_pag_post_cfg(engine, cond, pag_scale=_s)]
+
+            p.deferred_hooks = list(p.deferred_hooks or []) + [attach_pag]
         else:
             raise ApiError(422, f"unknown alwayson script {name!r} — supported: "
-                                f"controlnet, freeu")
+                                f"controlnet, freeu, sag, pag, stylealign, "
+                                f"dynamic thresholding, kohya hrfix, latent "
+                                f"modifier, soft inpainting, fooocus inpaint, "
+                                f"controlllite")
+
+
+def _first_dict(args) -> Dict[str, Any]:
+    if args and isinstance(args[0], dict):
+        return args[0]
+    return {}
 
 
 class Api:

@@ -78,21 +78,23 @@ def _attn_block(
     block_id,
     which: str,
     hooks: Mapping[str, Any],
+    block_index: int = 0,
 ) -> jax.Array:
     q = nn.linear(x, {"weight": p["to_q"]["weight"]})
     ctx = x if context is None else context
     k = nn.linear(ctx, {"weight": p["to_k"]["weight"]})
     v = nn.linear(ctx, {"weight": p["to_v"]["weight"]})
 
+    extra = {"block": block_id, "n_heads": heads, "block_index": block_index}
     patch = hooks.get(f"{which}_patch")
     if patch:
         for fn in patch:
-            q, k, v = fn(q, k, v, {"block": block_id, "n_heads": heads})
+            q, k, v = fn(q, k, v, extra)
 
     replace = hooks.get(f"{which}_replace", {})
     fn = replace.get(block_id) or hooks.get(f"{which}_replace_all")
     if fn is not None:
-        out = fn(q, k, v, {"block": block_id, "n_heads": heads})
+        out = fn(q, k, v, extra)
     else:
         out = attention(q, k, v, heads=heads)
 
@@ -112,9 +114,10 @@ def transformer_block(
     heads: int,
     block_id,
     hooks: Mapping[str, Any],
+    block_index: int = 0,
 ) -> jax.Array:
-    x = x + _attn_block(p["attn1"], nn.layer_norm(x, p["norm1"]), None, heads, block_id, "attn1", hooks)
-    x = x + _attn_block(p["attn2"], nn.layer_norm(x, p["norm2"]), context, heads, block_id, "attn2", hooks)
+    x = x + _attn_block(p["attn1"], nn.layer_norm(x, p["norm1"]), None, heads, block_id, "attn1", hooks, block_index)
+    x = x + _attn_block(p["attn2"], nn.layer_norm(x, p["norm2"]), context, heads, block_id, "attn2", hooks, block_index)
     h = nn.layer_norm(x, p["norm3"])
     h = nn.geglu(h, p["ff"]["net"]["0"]["proj"])
     x = x + nn.linear(h, p["ff"]["net"]["2"])
@@ -140,7 +143,7 @@ def spatial_transformer(
         x = nn.conv2d(x, p["proj_in"]).reshape(b, h * w, c)
     blocks = p["transformer_blocks"]
     for i in range(len(blocks)):
-        x = transformer_block(blocks[str(i)], x, context, heads, block_id, hooks)
+        x = transformer_block(blocks[str(i)], x, context, heads, block_id, hooks, block_index=i)
     if linear_proj:
         x = nn.linear(x, p["proj_out"]).reshape(b, h, w, c)
     else:

@@ -98,6 +98,17 @@ class Processing:
     controlnets: Optional[List[Any]] = None  # models.controlnet.ControlNetState
     pre_cfg_hooks: Optional[List[Any]] = None   # fn(eps_c, eps_u, x, σ) pairs
     post_cfg_hooks: Optional[List[Any]] = None  # fn(x0, eps_c, eps_u, x, σ)
+    cfg_combine_hook: Optional[Any] = None      # replaces the CFG combine
+    # builders that need the engine + encoded conds (SAG/PAG attach via API):
+    # fn(engine, p, cond, uncond), called once per batch after cond encode
+    deferred_hooks: Optional[List[Any]] = None
+    # extensions.soft_inpainting.SoftInpaintingSettings: σ-scheduled soft
+    # latent blend replaces the hard inpaint composite when set
+    soft_inpainting: Optional[Any] = None
+    # sigma-windowed hook phases: [(end_fraction, extra_hooks), ...] — the
+    # compiled loop is split at phase boundaries (the scan-world analog of the
+    # reference's per-call sigma gating in timestep-ranged patches)
+    hook_phases: Optional[List[Tuple[float, Dict[str, Any]]]] = None
 
 
 @dataclasses.dataclass
@@ -214,10 +225,14 @@ def _callbacks_supported() -> bool:
     return _CALLBACKS_OK
 
 
+_PREVIEW_ENGINE = None  # set by _build_sample_fn; single-worker discipline
+
+
 def _progress_tick(x0):
     """Host callback from inside the compiled scan: advance the job state
-    and refresh the cheap latent preview (reference store_latent /
-    shared_state.do_set_current_image)."""
+    and refresh the live preview (reference store_latent /
+    shared_state.do_set_current_image). Decoder picked by the
+    show_progress_type option: Full / Approx NN / Approx cheap / TAESD."""
     from ..runtime.state import state
     from .preview import latent_to_rgb_cheap
 
@@ -227,7 +242,14 @@ def _progress_tick(x0):
 
         every = max(int(opts.get("show_progress_every_n_steps")), 1)
         if state.sampling_step % every == 0:
-            state.set_current_image(latent_to_rgb_cheap(np.asarray(x0))[0])
+            mode = str(opts.get("show_progress_type"))
+            if mode != "Approx cheap" and _PREVIEW_ENGINE is not None:
+                from .taesd import preview_decode
+
+                img = preview_decode(_PREVIEW_ENGINE, np.asarray(x0), mode)
+            else:
+                img = latent_to_rgb_cheap(np.asarray(x0))
+            state.set_current_image(img[0])
     except Exception:
         pass
 
@@ -256,9 +278,17 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
             cond_branches=branches or None,
             branch_weights=branch_weights,
             return_uncond=info.needs_uncond,
+            cfg_combine_fn=(p.cfg_combine_hook.build(sigmas_np, predictor=predictor)
+                            if hasattr(p.cfg_combine_hook, "build")
+                            else p.cfg_combine_hook),
         )
         if masked:
-            if info.needs_uncond:
+            if p.soft_inpainting is not None:
+                from ..extensions.soft_inpainting import make_soft_masked_model_fn
+
+                model_fn = make_soft_masked_model_fn(model_fn, mask, init_latent,
+                                                     p.soft_inpainting)
+            elif info.needs_uncond:
                 model_fn = cfg_mod.make_masked_pair_fn(model_fn, mask, init_latent)
             else:
                 model_fn = cfg_mod.make_masked_model_fn(model_fn, mask, init_latent, predictor)
@@ -485,6 +515,13 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             cond = dict(cond, guidance=g)
             uncond = dict(uncond, guidance=g)
         timings["cond"] = time.time() - tc
+        if it == 0:  # conds are prompt-derived, identical across iterations
+            for hook_builder in p.deferred_hooks or ():
+                hook_builder(engine, p, cond, uncond)
+        override = getattr(p, "_unet_param_override", None)
+        if override is not None:
+            unet_params = override(unet_params if unet_params is not None
+                                   else engine.loaded.unet)
         if runner is not None:
             runner.before_process_batch(p, batch_number=it, prompts=prompts, seeds=seeds)
             runner.process_batch(p, batch_number=it, prompts=prompts, seeds=seeds)
@@ -571,6 +608,21 @@ def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array,
         from ..runtime.profiling import test_for_nans
 
         test_for_nans(latent, "unet")
+    try:
+        from ..runtime.options import opts as _o
+
+        use_taesd = _o.get("sd_vae_decode_method") == "TAESD"
+    except KeyError:
+        use_taesd = False
+    if use_taesd:
+        from .taesd import taesd_for_family, _jitted_taesd_decode
+
+        params = taesd_for_family(engine.family)
+        if params is not None:
+            raw = engine.latent_format.process_out(latent)
+            rgb = np.asarray(_jitted_taesd_decode()(params, raw.astype(jnp.float32)))
+            _PHASE["decode"] = time.time() - t0
+            return (rgb * 255.0 + 0.5).astype(np.uint8)
     plan = getattr(p, "_plan", None) if p is not None else None
     if plan is not None and plan.tiled_vae:
         img = np.asarray(engine.decode_first_stage_tiled(latent), np.float32)
@@ -606,6 +658,8 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
         manifest_digest(p.controlnets) if p.controlnets else None,
         manifest_digest(p.post_cfg_hooks) if p.post_cfg_hooks else None,
         manifest_digest(p.pre_cfg_hooks) if p.pre_cfg_hooks else None,
+        manifest_digest(p.cfg_combine_hook) if p.cfg_combine_hook else None,
+        manifest_digest(p.soft_inpainting) if p.soft_inpainting else None,
     )
     if key not in engine._jit_cache:
         engine._jit_cache[key] = _build_sample_fn(
@@ -613,6 +667,9 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
             progress=progress,
         )
     fn = engine._jit_cache[key]
+    if progress:
+        global _PREVIEW_ENGINE
+        _PREVIEW_ENGINE = engine  # live-preview decoder needs family/VAE
     if engine.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -719,6 +776,10 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                               rcond, runcond, skip_uncond=(p.cfg_scale == 1.0),
                               kind="refiner")
         engine_out = refiner
+    elif p.hook_phases:
+        latent = _run_phased(engine, p, x, sigmas, step_noise, cond, uncond,
+                             n_steps, unet_params)
+        engine_out = engine
     else:
         latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
                               skip_uncond=(p.cfg_scale == 1.0), unet_params=unet_params)
@@ -736,6 +797,52 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
         return _decode_to_uint8(hr_engine, latent, p)
 
     return _decode_to_uint8(engine_out, latent, p)
+
+
+def _merge_hooks(base: Optional[Dict[str, Any]], extra: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge hook manifests: sequence-valued slots (block patches) chain,
+    scalar slots (attn replace) are overridden by the extra manifest."""
+    merged = dict(base or {})
+    for k, v in extra.items():
+        if k in merged and isinstance(v, tuple) and isinstance(merged[k], tuple):
+            merged[k] = merged[k] + v
+        else:
+            merged[k] = v
+    return merged
+
+
+def _run_phased(engine, p, x, sigmas, step_noise, cond, uncond, n_steps, unet_params):
+    """Run the denoise loop as consecutive compiled segments with different
+    hook manifests (Processing.hook_phases) — the scan-world expression of
+    sigma-gated model patches (reference timestep_range gating,
+    backend/sampling/condition.py:21-27). Multistep sampler history resets at
+    segment seams, same as the refiner two-pass."""
+    base_hooks = p.unet_hooks
+    latent = x
+    k_prev = 0
+    try:
+        for end_frac, extra in p.hook_phases:
+            k_end = max(min(int(round(end_frac * n_steps)), n_steps), k_prev)
+            if k_end == k_prev:
+                continue
+            p.unet_hooks = _merge_hooks(base_hooks, extra) if extra else base_hooks
+
+            def slice_persteps(c):  # prompt-editing arrays are step-global
+                from ..sampling.cfg import PerStep
+
+                return {k: (PerStep(v.array[k_prev:k_end]) if isinstance(v, PerStep) else v)
+                        for k, v in c.items()}
+
+            latent = _run_sampler(
+                engine, p, latent, sigmas[k_prev : k_end + 1],
+                step_noise[k_prev:k_end] if step_noise is not None else None,
+                slice_persteps(cond), slice_persteps(uncond),
+                skip_uncond=(p.cfg_scale == 1.0),
+                unet_params=unet_params)
+            k_prev = k_end
+    finally:
+        p.unet_hooks = base_hooks
+    return latent
 
 
 def _latent_upscale(latent: jax.Array, scale: float,

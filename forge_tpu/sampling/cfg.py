@@ -85,6 +85,7 @@ def make_cfg_model_fn(
     cond_branches: Optional[Sequence[Mapping[str, Any]]] = None,
     branch_weights: Optional[Sequence[float]] = None,
     return_uncond: bool = False,
+    cfg_combine_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build model_fn(x, σ) for the samplers.
 
@@ -142,7 +143,12 @@ def make_cfg_model_fn(
             for hook in pre_cfg_hooks:
                 eps_cond, eps_uncond = hook(eps_cond, eps_uncond, x, sigma)
 
-            x0 = eps_uncond + cfg_scale * (eps_cond - eps_uncond)
+            if cfg_combine_fn is not None:
+                # replacement for the CFG combination itself (reference
+                # set_model_sampler_cfg_function, patcher/base.py:161)
+                x0 = cfg_combine_fn(eps_cond, eps_uncond, x, sigma, cfg_scale)
+            else:
+                x0 = eps_uncond + cfg_scale * (eps_cond - eps_uncond)
 
         if cfg_rescale > 0.0 and not skip_uncond:
             # RescaleCFG (arXiv:2305.08891): match per-image std of the
