@@ -381,10 +381,24 @@ class Api:
 
     def _upscale_one(self, img_b64: str, body) -> str:
         img = _b64_to_image(img_b64)
+        # face restoration before upscale (reference postprocessing op order)
+        cf_vis = float(body.get("codeformer_visibility", 0) or 0)
+        gf_vis = float(body.get("gfpgan_visibility", 0) or 0)
+        if cf_vis > 0 or gf_vis > 0:
+            from ..postprocessing.faces import get_face_restorer
+
+            restorer = get_face_restorer()
+            if restorer.available:
+                w = float(body.get("codeformer_weight", 0.5))
+                restored = work_queue.run_and_wait(restorer.restore, img, w)
+                vis = max(cf_vis, gf_vis)
+                img = (restored.astype(np.float32) * vis
+                       + img.astype(np.float32) * (1 - vis) + 0.5).astype(np.uint8)
         name = body.get("upscaler_1", "Lanczos")
         scale = float(body.get("upscaling_resize", 2))
-        out = work_queue.run_and_wait(self.upscalers.get(name).upscale, img, scale)
-        return _image_to_b64(out)
+        if name and name != "None" and scale != 1:
+            img = work_queue.run_and_wait(self.upscalers.get(name).upscale, img, scale)
+        return _image_to_b64(img)
 
     def extra_single(self, query, body):
         return {"image": self._upscale_one(body.get("image", ""), body), "html_info": ""}
@@ -460,8 +474,20 @@ class Api:
         return _RawResponse(INDEX_HTML, "text/html; charset=utf-8")
 
     def interrogate(self, query, body):
-        # BLIP/CLIP interrogators need their vendored model zoo (round 2)
-        return {"caption": "", "detail": "interrogate models not installed"}
+        """CLIP-ranking interrogator (reference api.py interrogateapi +
+        modules/interrogate.py). model: "clip" (deepbooru not ported)."""
+        from ..postprocessing.interrogate import get_interrogator
+
+        img_b64 = (body or {}).get("image", "")
+        if not img_b64:
+            raise ApiError(404, "Image not found")
+        interrogator = get_interrogator()
+        if not interrogator.available:
+            return {"caption": "", "detail": "no CLIP checkpoint under "
+                    "models/interrogate — install one to enable interrogation"}
+        img = _b64_to_image(img_b64)
+        caption = work_queue.run_and_wait(interrogator.interrogate, img)
+        return {"caption": caption}
 
     def server_stop(self, query, body):
         import threading

@@ -538,8 +538,20 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
         ts = time.time()
         if runner is not None:
             batch_images = runner.postprocess_batch(p, batch_images, batch_number=it)
+        restore = p.restore_faces or _opt_bool("face_restoration")
         for b in range(p.batch_size):
             img = batch_images[b]
+            if restore:
+                # reference processing.py:1036-1044 face restoration step
+                from ..postprocessing.faces import get_face_restorer
+
+                restorer = get_face_restorer()
+                if restorer.available:
+                    img = restorer.restore(img)
+                    p.restore_faces = True  # record for infotext
+                else:
+                    print("face restoration requested but no CodeFormer "
+                          "checkpoint under models/Codeformer — skipped")
             if is_img2img and _color_correction_enabled():
                 from .images import apply_color_correction, setup_color_correction
 
@@ -583,13 +595,17 @@ def _tree_bytes(tree) -> int:
     return sum(getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree))
 
 
-def _color_correction_enabled() -> bool:
+def _opt_bool(key: str) -> bool:
     from ..runtime.options import opts
 
     try:
-        return bool(opts.get("img2img_color_correction"))
+        return bool(opts.get(key))
     except KeyError:
         return False
+
+
+def _color_correction_enabled() -> bool:
+    return _opt_bool("img2img_color_correction")
 
 
 def _nan_check_enabled() -> bool:
