@@ -211,13 +211,11 @@ class Api:
             ("POST", "/sdapi/v1/refresh-loras"): lambda q, b: {},
             ("POST", "/sdapi/v1/unload-checkpoint"): self.unload_checkpoint,
             ("POST", "/sdapi/v1/reload-checkpoint"): self.reload_checkpoint,
-            ("GET", "/sdapi/v1/scripts"): lambda q, b: {
-                "txt2img": ["controlnet", "freeu"], "img2img": ["controlnet", "freeu"]},
-            ("GET", "/sdapi/v1/script-info"): lambda q, b: [
-                {"name": "controlnet", "is_alwayson": True, "is_img2img": False, "args": []},
-                {"name": "controlnet", "is_alwayson": True, "is_img2img": True, "args": []},
-                {"name": "freeu", "is_alwayson": True, "is_img2img": False, "args": []},
-            ],
+            ("GET", "/sdapi/v1/scripts"): self.list_scripts,
+            ("GET", "/sdapi/v1/script-info"): self.script_info,
+            ("GET", "/sdapi/v1/extensions"): self.list_extensions_api,
+            ("GET", "/config_states"): self.config_states_api,
+            ("POST", "/config_states/save"): self.config_states_save,
             ("GET", "/controlnet/model_list"): self.controlnet_models,
             ("GET", "/controlnet/module_list"): self.controlnet_modules,
             ("GET", "/controlnet/version"): lambda q, b: {"version": 2},
@@ -232,7 +230,10 @@ class Api:
         self.loras: List[Dict[str, Any]] = []
         from ..pipeline.upscalers import UpscalerRegistry
 
-        self.upscalers = UpscalerRegistry(model_dirs={"ESRGAN": "models/ESRGAN"})
+        self.upscalers = UpscalerRegistry(model_dirs={
+            "ESRGAN": "models/ESRGAN", "RealESRGAN": "models/RealESRGAN",
+            "SwinIR": "models/SwinIR", "DAT": "models/DAT", "HAT": "models/HAT",
+        })
 
     # -- generation ---------------------------------------------------------
 
@@ -472,6 +473,47 @@ class Api:
         from .webui_static import INDEX_HTML
 
         return _RawResponse(INDEX_HTML, "text/html; charset=utf-8")
+
+    # alwayson script names the API dispatcher accepts (one source of truth
+    # for /sdapi/v1/scripts and the 422 message)
+    ALWAYSON = ("controlnet", "freeu", "sag", "pag", "stylealign",
+                "dynamic thresholding", "kohya hrfix", "latent modifier",
+                "soft inpainting", "fooocus inpaint", "controlllite")
+
+    def list_scripts(self, query, body):
+        from ..runtime.scripts import scripts_img2img, scripts_txt2img
+
+        names = list(self.ALWAYSON)
+        t2i = names + [s.name for s in scripts_txt2img.scripts]
+        i2i = names + [s.name for s in scripts_img2img.scripts]
+        return {"txt2img": t2i, "img2img": i2i}
+
+    def script_info(self, query, body):
+        out = []
+        for name in self.ALWAYSON:
+            for is_img2img in (False, True):
+                out.append({"name": name, "is_alwayson": True,
+                            "is_img2img": is_img2img, "args": []})
+        return out
+
+    def list_extensions_api(self, query, body):
+        from ..runtime.extensions import list_extensions
+
+        return [{"name": e.name, "remote": e.remote, "branch": e.branch,
+                 "commit_hash": e.commit_hash, "version": e.version,
+                 "commit_date": "", "enabled": e.enabled}
+                for e in list_extensions()]
+
+    def config_states_api(self, query, body):
+        from ..runtime.extensions import list_config_states
+
+        return list_config_states()
+
+    def config_states_save(self, query, body):
+        from ..runtime.extensions import save_config_state
+
+        path = save_config_state((body or {}).get("name", ""))
+        return {"saved": path}
 
     def interrogate(self, query, body):
         """CLIP-ranking interrogator (reference api.py interrogateapi +

@@ -7,8 +7,11 @@ table, tensor-info table, aligned data section. Quantized tensors surface as
 ops/quant.py leaf dicts (codes + f16 scales) ready for on-the-fly dequant or
 the fused Pallas matmul; F32/F16 tensors load as numpy arrays.
 
-Supported ggml tensor types: F32, F16, Q4_0, Q8_0, (Q4_1/Q5_0/Q5_1 read as
-dequantized f32 — their extra min/high-bit fields don't fit the 2-field leaf).
+Supported ggml tensor types: F32/F16/BF16 (arrays); Q4_0, Q8_0 (symmetric
+fused-kernel leaves); Q4_1, Q5_0, Q5_1 and the K-quants Q2_K…Q6_K, which all
+reduce to the generalized asymmetric leaves gq4/gq8 (value = scale·code −
+min per 16/32-group) after unpacking their super-block scales — those run
+the asymmetric fused Pallas matmul (ops/dequant_matmul.py).
 """
 
 from __future__ import annotations
@@ -28,9 +31,11 @@ GGML_F32, GGML_F16 = 0, 1
 GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0 = 8
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
 GGML_BF16 = 30
 
 _BLOCK = 32
+_QK_K = 256  # K-quant super-block
 
 
 def _read_str(f: BinaryIO) -> str:
@@ -75,6 +80,15 @@ def _tensor_bytes(ggml_type: int, n: int) -> int:
         return n * 4
     if ggml_type in (GGML_F16, GGML_BF16):
         return n * 2
+    if ggml_type in (GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
+        super_blocks = n // _QK_K
+        return super_blocks * {
+            GGML_Q2_K: 84,   # 16 scales + 64 qs + d + dmin
+            GGML_Q3_K: 110,  # 32 hmask + 64 qs + 12 scales + d
+            GGML_Q4_K: 144,  # d + dmin + 12 scales + 128 qs
+            GGML_Q5_K: 176,  # d + dmin + 12 scales + 32 qh + 128 qs
+            GGML_Q6_K: 210,  # 128 ql + 64 qh + 16 scales + d
+        }[ggml_type]
     blocks = n // _BLOCK
     return {
         GGML_Q4_0: blocks * 18,
@@ -103,31 +117,142 @@ def _decode_tensor(raw: bytes, ggml_type: int, shape) -> Any:
         rec = np.frombuffer(raw, dtype=np.dtype([("scale", "<f2"), ("q", "u1", (16,))]))
         return {"kind": "q4_0", "codes": rec["q"].reshape(-1).copy(),
                 "scales": rec["scale"].copy(), "shape": tuple(shape)}
-    # Q4_1/Q5_x: dequantize to f32 at load (two-parameter blocks)
+    # Two-parameter 32-blocks → the generalized asymmetric leaves (fused
+    # kernel path): value = scale·code − min (ops/quant.py gq4/gq8).
     if ggml_type == GGML_Q4_1:
         rec = np.frombuffer(raw, dtype=np.dtype([("d", "<f2"), ("m", "<f2"), ("q", "u1", (16,))]))
-        lo = (rec["q"] & 0xF).astype(np.float32)
-        hi = (rec["q"] >> 4).astype(np.float32)
-        vals = np.concatenate([lo, hi], axis=1)
-        out = vals * rec["d"].astype(np.float32)[:, None] + rec["m"].astype(np.float32)[:, None]
-        return out.reshape(shape)
+        lo = rec["q"] & 0xF
+        hi = rec["q"] >> 4
+        codes = np.concatenate([lo, hi], axis=1)  # element order per block
+        return _gq4_leaf(codes, rec["d"].astype(np.float32),
+                         -rec["m"].astype(np.float32), shape, block=_BLOCK)
     if ggml_type in (GGML_Q5_0, GGML_Q5_1):
         has_min = ggml_type == GGML_Q5_1
         fields = [("d", "<f2")] + ([("m", "<f2")] if has_min else []) + [("qh", "<u4"), ("q", "u1", (16,))]
         rec = np.frombuffer(raw, dtype=np.dtype(fields))
-        lo = (rec["q"] & 0xF).astype(np.uint16)
-        hi = (rec["q"] >> 4).astype(np.uint16)
+        lo = (rec["q"] & 0xF).astype(np.uint8)
+        hi = (rec["q"] >> 4).astype(np.uint8)
         vals = np.concatenate([lo, hi], axis=1)  # [blocks, 32] low 4 bits
-        qh = rec["qh"]
-        bits = ((qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1).astype(np.uint16)
-        vals = vals | (bits << 4)
-        d = rec["d"].astype(np.float32)[:, None]
+        bits = ((rec["qh"][:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1).astype(np.uint8)
+        vals = vals | (bits << 4)  # 5-bit codes 0..31
+        d = rec["d"].astype(np.float32)
         if has_min:
-            out = vals.astype(np.float32) * d + rec["m"].astype(np.float32)[:, None]
+            mins = -rec["m"].astype(np.float32)
         else:
-            out = (vals.astype(np.float32) - 16.0) * d
-        return out.reshape(shape)
+            mins = 16.0 * d  # value = d·(q−16) = d·q − 16d
+        return _gq8_leaf(vals, d, mins, shape, block=_BLOCK)
+
+    # K-quants: 256-element super-blocks with packed 6-bit/4-bit sub-scales
+    # (ggml spec; unpacking mirrors packages_3rdparty/gguf/quants.py:624-780).
+    if ggml_type in (GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
+        return _decode_kquant(raw, ggml_type, shape)
     raise ValueError(f"unsupported ggml tensor type {ggml_type}")
+
+
+def _gq4_leaf(codes_u8, scales, mins, shape, block):
+    """codes_u8: [blocks, block] unpacked 4-bit values in element order."""
+    flat = codes_u8.reshape(-1)
+    packed = (flat[0::2] << 4) | flat[1::2]
+    return {"kind": "gq4", "codes": packed, "scales": scales.astype(np.float16),
+            "mins": mins.astype(np.float16), "shape": tuple(shape), "block": block}
+
+
+def _gq8_leaf(codes, scales, mins, shape, block):
+    return {"kind": "gq8", "codes": codes.reshape(-1).astype(np.int8),
+            "scales": scales.astype(np.float16), "mins": mins.astype(np.float16),
+            "shape": tuple(shape), "block": block}
+
+
+def _unpack_kscales(scales12: np.ndarray):
+    """Q4_K/Q5_K 12-byte packed 6-bit (scale, min) pairs → two [N, 8] arrays
+    (ggml get_scale_min_k4 layout)."""
+    s = scales12.reshape(-1, 3, 4)
+    d, m, m_d = s[:, 0], s[:, 1], s[:, 2]
+    sc = np.concatenate([d & 0x3F, (m_d & 0x0F) | ((d >> 2) & 0x30)], axis=-1)
+    mn = np.concatenate([m & 0x3F, (m_d >> 4) | ((m >> 2) & 0x30)], axis=-1)
+    return sc, mn
+
+
+def _decode_kquant(raw: bytes, ggml_type: int, shape):
+    buf = np.frombuffer(raw, np.uint8)
+    n = int(np.prod(shape))
+    nb = n // _QK_K
+
+    if ggml_type == GGML_Q2_K:
+        b = buf.reshape(nb, 84)
+        scales, qs = b[:, :16], b[:, 16:80]
+        d = b[:, 80:82].copy().view(np.float16).astype(np.float32)
+        dmin = b[:, 82:84].copy().view(np.float16).astype(np.float32)
+        dl = d * (scales & 0xF).astype(np.float32)          # [nb, 16]
+        ml = dmin * (scales >> 4).astype(np.float32)
+        shift = np.array([0, 2, 4, 6], np.uint8).reshape(1, 1, 4, 1)
+        q = ((qs.reshape(nb, 2, 1, 32) >> shift) & 3).reshape(nb, 16, 16)
+        return _gq4_leaf(q.reshape(-1, 16), dl.reshape(-1), ml.reshape(-1),
+                         shape, block=16)
+
+    if ggml_type == GGML_Q3_K:
+        b = buf.reshape(nb, 110)
+        hmask, qs, scales, d = b[:, :32], b[:, 32:96], b[:, 96:108], b[:, 108:110]
+        d = d.copy().view(np.float16).astype(np.float32)
+        ls = (scales[:, :8].reshape(nb, 1, 8)
+              >> np.array([0, 4], np.uint8).reshape(1, 2, 1)).reshape(nb, 16)
+        hs = (scales[:, 8:].reshape(nb, 1, 4)
+              >> np.array([0, 2, 4, 6], np.uint8).reshape(1, 4, 1)).reshape(nb, 16)
+        sc = ((ls & 0x0F) | ((hs & 0x03) << 4)).astype(np.int8) - 32
+        dl = (d * sc.astype(np.float32))                      # [nb, 16]
+        shift = np.array([0, 2, 4, 6], np.uint8).reshape(1, 1, 4, 1)
+        ql = ((qs.reshape(nb, 2, 1, 32) >> shift) & 3).reshape(nb, 16, 16)
+        hshift = np.arange(8, dtype=np.uint8).reshape(1, 1, 8, 1)
+        qh = ((hmask.reshape(nb, 1, 1, 32) >> hshift) & 1).reshape(nb, 16, 16)
+        qh = qh ^ 1  # offset is zero when the high bit is set
+        # value = dl·(ql − 4·qh) = dl·c − min with c = ql + 4·(1−qh) ∈ [0,7]
+        c = (ql + 4 * (1 - qh)).astype(np.uint8)
+        mins = 4.0 * dl
+        return _gq4_leaf(c.reshape(-1, 16), dl.reshape(-1), mins.reshape(-1),
+                         shape, block=16)
+
+    if ggml_type == GGML_Q4_K:
+        b = buf.reshape(nb, 144)
+        d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+        dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+        sc, mn = _unpack_kscales(b[:, 4:16])
+        qs = b[:, 16:]
+        dl = d * sc.astype(np.float32)                        # [nb, 8]
+        ml = dmin * mn.astype(np.float32)
+        q = ((qs.reshape(nb, 4, 1, 32)
+              >> np.array([0, 4], np.uint8).reshape(1, 1, 2, 1)) & 0x0F)
+        q = q.reshape(nb, 8, 32)
+        return _gq4_leaf(q.reshape(-1, 32), dl.reshape(-1), ml.reshape(-1),
+                         shape, block=32)
+
+    if ggml_type == GGML_Q5_K:
+        b = buf.reshape(nb, 176)
+        d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+        dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+        sc, mn = _unpack_kscales(b[:, 4:16])
+        qh, qs = b[:, 16:48], b[:, 48:]
+        dl = d * sc.astype(np.float32)
+        ml = dmin * mn.astype(np.float32)
+        ql = ((qs.reshape(nb, 4, 1, 32)
+               >> np.array([0, 4], np.uint8).reshape(1, 1, 2, 1)) & 0x0F)
+        hb = ((qh.reshape(nb, 1, 1, 32)
+               >> np.arange(8, dtype=np.uint8).reshape(1, 1, 8, 1)) & 1)
+        q = (ql.reshape(nb, 8, 32) | (hb.reshape(nb, 8, 32) << 4))
+        return _gq8_leaf(q, dl.reshape(-1), ml.reshape(-1), shape, block=32)
+
+    # Q6_K
+    b = buf.reshape(nb, 210)
+    ql, qh, scales, d = b[:, :128], b[:, 128:192], b[:, 192:208], b[:, 208:210]
+    d = d.copy().view(np.float16).astype(np.float32)
+    sc = scales.view(np.int8).astype(np.float32)              # [nb, 16]
+    dl = d * sc
+    lo = ((ql.reshape(nb, 2, 1, 64)
+           >> np.array([0, 4], np.uint8).reshape(1, 1, 2, 1)) & 0x0F).reshape(nb, 8, 32)
+    hi = ((qh.reshape(nb, 2, 1, 32)
+           >> np.array([0, 2, 4, 6], np.uint8).reshape(1, 1, 4, 1)) & 0x03).reshape(nb, 8, 32)
+    q = ((lo | (hi << 4)).astype(np.int8) - 32).reshape(nb, 16, 16)
+    return _gq8_leaf(q, dl.reshape(-1), np.zeros_like(dl).reshape(-1),
+                     shape, block=16)
 
 
 def load_gguf(path: str) -> Dict[str, Any]:

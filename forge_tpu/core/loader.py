@@ -65,16 +65,7 @@ def _to_device_tree(sd: Mapping[str, np.ndarray], dtype) -> Dict[str, Any]:
             from ..ops.dequant_matmul import prepare_for_kernel
 
             q = prepare_for_kernel(v) if len(v.get("shape", ())) == 2 else dict(v)
-            if "codes2d" in q:
-                return quant_mod.QuantTensor(
-                    q["kind"], q["shape"], None, None,
-                    jnp.asarray(q["codes2d"]),
-                    jnp.asarray(np.asarray(q["scales2d"], np.float32)),
-                )
-            return quant_mod.QuantTensor(
-                q["kind"], q["shape"], jnp.asarray(q["codes"]),
-                jnp.asarray(np.asarray(q["scales"], np.float32)),
-            )
+            return quant_mod.leaf_to_device(q)
         if v.dtype in (np.float64, np.float32, np.float16):
             return jnp.asarray(v, dtype=dtype)
         return jnp.asarray(v)
@@ -99,16 +90,7 @@ def _to_quantized_tree(sd: Mapping[str, np.ndarray], kind: str, dtype) -> Dict[s
         if (arr.ndim == 2 and arr.size >= (1 << 16)
                 and not any(t in path for t in ("norm", "emb", "bias"))):
             q = prepare_for_kernel(quant_mod.quantize(arr, kind))
-            if "codes2d" in q:  # kernel layout only — no duplicate flat copy
-                return quant_mod.QuantTensor(
-                    q["kind"], q["shape"], None, None,
-                    jnp.asarray(q["codes2d"]),
-                    jnp.asarray(np.asarray(q["scales2d"], np.float32)),
-                )
-            return quant_mod.QuantTensor(
-                q["kind"], q["shape"], jnp.asarray(q["codes"]),
-                jnp.asarray(np.asarray(q["scales"], np.float32)),
-            )
+            return quant_mod.leaf_to_device(q)
         if arr.dtype in (np.float64, np.float32, np.float16):
             return jnp.asarray(arr, dtype=dtype)
         return jnp.asarray(arr)

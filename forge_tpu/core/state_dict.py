@@ -164,6 +164,41 @@ def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_torch_object(path: str):
+    """Load a torch .pt preserving its full (nested) structure — hypernetwork
+    checkpoints are {context_dim: [k_state, v_state], meta...} rather than a
+    flat state dict. Tensor specs materialize to numpy recursively; the
+    restricted unpickler still guards against code execution."""
+    with zipfile.ZipFile(path) as zf:
+        pkl_name = next(n for n in zf.namelist() if n.endswith("data.pkl"))
+        prefix = pkl_name[: -len("data.pkl")]
+        with zf.open(pkl_name) as f:
+            obj = _RestrictedUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+
+        def materialize(node):
+            if isinstance(node, dict):
+                if "storage" in node and "size" in node:
+                    storage = node["storage"]
+                    np_dtype, _ = _TORCH_DTYPE_SIZES.get(storage.storage_type,
+                                                         (None, None))
+                    if np_dtype is None:
+                        return None
+                    raw = zf.read(f"{prefix}data/{storage.key}")
+                    flat = np.frombuffer(raw, dtype=np_dtype)
+                    size = tuple(node["size"])
+                    n = int(np.prod(size)) if size else 1
+                    arr = flat[node["offset"] : node["offset"] + n].reshape(size)
+                    if storage.storage_type == "BFloat16Storage":
+                        arr = _bf16_to_f32(arr)
+                    return arr
+                return {k: materialize(v) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return type(node)(materialize(v) for v in node)
+            return node
+
+        return materialize(obj)
+
+
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".safetensors") or path.endswith(".sft"):
         return load_safetensors(path)

@@ -82,8 +82,13 @@ def _attn_block(
 ) -> jax.Array:
     q = nn.linear(x, {"weight": p["to_q"]["weight"]})
     ctx = x if context is None else context
-    k = nn.linear(ctx, {"weight": p["to_k"]["weight"]})
-    v = nn.linear(ctx, {"weight": p["to_v"]["weight"]})
+    # pre-projection context transform (legacy hypernetworks: separate k/v
+    # context MLPs applied before to_k/to_v, modules/hypernetworks)
+    ctx_k = ctx_v = ctx
+    for fn in hooks.get(f"{which}_context_patch", ()):
+        ctx_k, ctx_v = fn(ctx_k, ctx_v, {"block": block_id})
+    k = nn.linear(ctx_k, {"weight": p["to_k"]["weight"]})
+    v = nn.linear(ctx_v, {"weight": p["to_v"]["weight"]})
 
     extra = {"block": block_id, "n_heads": heads, "block_index": block_index}
     patch = hooks.get(f"{which}_patch")

@@ -19,7 +19,7 @@ interleaves). Scales reshape to [out, in/block].
 from __future__ import annotations
 
 import functools
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,16 +36,41 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _leaf_block(q) -> int:
+    if q.get("block"):
+        return int(q["block"])
+    return NF4_BLOCK if q["kind"] == "nf4" else GGUF_BLOCK
+
+
 def prepare_for_kernel(q: Mapping[str, Any]) -> Mapping[str, Any]:
     """Repack a quant leaf's codes/scales into the kernel tile layout.
     Returns a new leaf dict with `codes2d`/`scales2d`; call once at load."""
     out_dim, in_dim = q["shape"]
     kind = q["kind"]
-    block = NF4_BLOCK if kind == "nf4" else GGUF_BLOCK
+    block = _leaf_block(q)
     if in_dim % PACK_GROUP != 0:
         return dict(q)  # fallback path dequantizes via quant.dequantize
     codes = np.asarray(q["codes"])
     scales = np.asarray(q["scales"], np.float32)
+    if kind == "gq4":
+        # unpack (hi = even element) then half-pack per 512 group
+        idx = np.empty((out_dim, in_dim), np.uint8)
+        packed = codes.reshape(out_dim, in_dim // 2)
+        idx[:, 0::2] = packed >> 4
+        idx[:, 1::2] = packed & 0xF
+        grp = idx.reshape(out_dim, in_dim // PACK_GROUP, 2, PACK_GROUP // 2)
+        codes2d = ((grp[:, :, 0] << 4) | grp[:, :, 1]).reshape(out_dim, in_dim // 2)
+        out = dict(q)
+        out["codes2d"] = codes2d
+        out["scales2d"] = scales.reshape(out_dim, in_dim // block)
+        out["mins2d"] = np.asarray(q["mins"], np.float32).reshape(out_dim, in_dim // block)
+        return out
+    if kind == "gq8":
+        out = dict(q)
+        out["codes2d"] = codes.reshape(out_dim, in_dim).view(np.uint8)
+        out["scales2d"] = scales.reshape(out_dim, in_dim // block)
+        out["mins2d"] = np.asarray(q["mins"], np.float32).reshape(out_dim, in_dim // block)
+        return out
     if kind in ("nf4", "q4_0"):
         # unpack original (pair-interleaved) nibbles to per-column indices
         packed = codes.reshape(out_dim, in_dim // 2)
@@ -139,6 +164,56 @@ def _kernel_4bit(x_ref, codes_ref, scalesT_ref, o_ref, acc_ref, *, block, table)
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_q8_asym(x_ref, codes_ref, scalesT_ref, minsT_ref, o_ref, acc_ref,
+                    *, block):
+    """gq8: acc += x @ (codes·scale − min).T — the normal form of GGUF
+    K-quants with 8-bit-storable codes (Q5_K/Q6_K/Q5_0/Q5_1)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[...]
+    w = pltpu.bitcast(codes, jnp.int8).astype(jnp.float32)
+    tn, tk = codes.shape
+    scales = scalesT_ref[...].T
+    mins = minsT_ref[...].T
+    w = w * _expand_scales(scales, tn, tk, block) - _expand_scales(mins, tn, tk, block)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _out():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _kernel_4bit_asym(x_ref, codes_ref, scalesT_ref, minsT_ref, o_ref, acc_ref,
+                      *, block):
+    """gq4: half-pack layout like _kernel_4bit, asymmetric dequant
+    (Q4_K/Q2_K/Q3_K/Q4_1 after super-block scale unpacking)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = codes_ref[...]
+    tn = packed.shape[0]
+    p32 = packed.astype(jnp.int32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    lo = (p32 & 0xF).astype(jnp.float32)
+    w = jnp.concatenate([hi, lo], axis=1)
+    scales = scalesT_ref[...].T
+    mins = minsT_ref[...].T
+    w = w * _expand_scales(scales, tn, PACK_GROUP, block) \
+        - _expand_scales(mins, tn, PACK_GROUP, block)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _out():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "block", "out_dim", "in_dim", "tile_m", "tile_n", "tile_k", "interpret"),
@@ -151,6 +226,7 @@ def dequant_matmul(
     block: int,
     out_dim: int,
     in_dim: int,
+    mins2d: Optional[jax.Array] = None,
     tile_m: int = 256,
     tile_n: int = 256,
     tile_k: int = 512,
@@ -164,30 +240,43 @@ def dequant_matmul(
         # leave the tail rows unwritten (e.g. 640-out cross-attn with 256
         # tiles). out_dim%128==0 is guaranteed by linear_quantized's guard.
         tile_n = 128
-    tile_k = PACK_GROUP if kind in ("nf4", "q4_0") else min(tile_k, in_dim)
+    four_bit = kind in ("nf4", "q4_0", "gq4")
+    tile_k = PACK_GROUP if four_bit else min(tile_k, in_dim)
     m_pad = _round_up(m, tile_m)
     xp = jnp.pad(x, ((0, m_pad - m), (0, 0)))
 
-    pack = 2 if kind in ("nf4", "q4_0") else 1
+    pack = 2 if four_bit else 1
     grid = (m_pad // tile_m, out_dim // tile_n, in_dim // tile_k)
     scalesT = scales2d.T  # [in/block, out]: lane-legal tiling
 
+    asym = kind in ("gq4", "gq8")
     if kind == "q8_0":
         kernel = functools.partial(_kernel_q8, block=block)
+    elif kind == "gq8":
+        kernel = functools.partial(_kernel_q8_asym, block=block)
+    elif kind == "gq4":
+        kernel = functools.partial(_kernel_4bit_asym, block=block)
     else:
         kernel = functools.partial(
             _kernel_4bit, block=block,
             table=NF4_CODE if kind == "nf4" else None,
         )
 
+    in_specs = [
+        pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, tile_k // pack), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // block, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, codes2d, scalesT]
+    if asym:
+        in_specs.append(pl.BlockSpec((tile_k // block, tile_n),
+                                     lambda i, j, k: (k, j), memory_space=pltpu.VMEM))
+        operands.append(mins2d.T)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tile_k // pack), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k // block, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, out_dim), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
@@ -195,7 +284,7 @@ def dequant_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, codes2d, scalesT)
+    )(*operands)
     return out[:m]
 
 
@@ -207,15 +296,17 @@ def linear_quantized(x: jax.Array, qleaf: Mapping[str, Any], bias=None,
     out_dim, in_dim = qleaf["shape"]
     lead = x.shape[:-1]
     x2 = x.reshape(-1, in_dim)
-    block = NF4_BLOCK if qleaf["kind"] == "nf4" else GGUF_BLOCK
+    block = _leaf_block(qleaf)
     if (
         "codes2d" in qleaf
         and in_dim % PACK_GROUP == 0
         and out_dim % 128 == 0
     ):
+        mins2d = qleaf.get("mins2d")
         y = dequant_matmul(
             x2, jnp.asarray(qleaf["codes2d"]), jnp.asarray(qleaf["scales2d"]),
             kind=qleaf["kind"], block=block, out_dim=out_dim, in_dim=in_dim,
+            mins2d=jnp.asarray(mins2d) if mins2d is not None else None,
             interpret=interpret,
         )
     else:

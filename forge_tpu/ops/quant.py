@@ -48,10 +48,11 @@ class QuantTensor:
     the weight stays packed and the forward adds x·downᵀ·upᵀ (+ x·denseᵀ)."""
 
     _FIELDS = ("codes", "scales", "codes2d", "scales2d",
-               "lora_down", "lora_up", "lora_dense")
+               "lora_down", "lora_up", "lora_dense", "mins", "mins2d")
 
     def __init__(self, kind, shape, codes, scales, codes2d=None, scales2d=None,
-                 lora_down=None, lora_up=None, lora_dense=None):
+                 lora_down=None, lora_up=None, lora_dense=None,
+                 mins=None, mins2d=None, block=None):
         self.kind = kind
         self.shape = tuple(shape)
         self.codes = codes
@@ -61,6 +62,9 @@ class QuantTensor:
         self.lora_down = lora_down
         self.lora_up = lora_up
         self.lora_dense = lora_dense
+        self.mins = mins      # asymmetric kinds (gq4/gq8): value = s·c − m
+        self.mins2d = mins2d
+        self.block = block    # group size for gq4/gq8 (K-quants use 16 or 32)
 
     def __getitem__(self, key):
         val = getattr(self, key)
@@ -79,17 +83,18 @@ class QuantTensor:
         return QuantTensor(d["kind"], d["shape"], d["codes"], d["scales"],
                            d.get("codes2d"), d.get("scales2d"),
                            d.get("lora_down"), d.get("lora_up"),
-                           d.get("lora_dense"))
+                           d.get("lora_dense"), d.get("mins"),
+                           d.get("mins2d"), d.get("block"))
 
 
 def _qt_flatten(qt: QuantTensor):
     children = tuple(getattr(qt, f) for f in QuantTensor._FIELDS)
-    return children, (qt.kind, qt.shape)
+    return children, (qt.kind, qt.shape, qt.block)
 
 
 def _qt_unflatten(aux, children):
-    kind, shape = aux
-    return QuantTensor(kind, shape, *children)
+    kind, shape, block = aux
+    return QuantTensor(kind, shape, *children, block=block)
 
 
 jax.tree_util.register_pytree_node(QuantTensor, _qt_flatten, _qt_unflatten)
@@ -207,8 +212,63 @@ def dequantize_q4_0(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
     return vals.reshape(-1)[:n].reshape(q["shape"]).astype(dtype)
 
 
-_DEQUANT = {"nf4": dequantize_nf4, "q8_0": dequantize_q8_0, "q4_0": dequantize_q4_0}
-_QUANT = {"nf4": quantize_nf4, "q8_0": quantize_q8_0, "q4_0": quantize_q4_0}
+# -- generalized asymmetric group quantization (gq4 / gq8) -------------------
+# value = scales[g]·code − mins[g], group size = leaf["block"] (16 or 32).
+# The normal form every GGUF K-quant (Q2_K…Q6_K) and two-parameter block
+# format (Q4_1/Q5_0/Q5_1) reduces to after unpacking its super-block scales
+# (packages_3rdparty/gguf/quants.py:624-780 block layouts). gq4 packs two
+# 4-bit codes per byte (hi nibble = even element); gq8 stores int8 codes.
+
+
+def quantize_gq4(w: np.ndarray, block: int = 32) -> Dict[str, Any]:
+    """Asymmetric 4-bit min/max quantization (test/utility producer)."""
+    shape = w.shape
+    g = np.asarray(w, np.float32).reshape(-1, block)
+    lo, hi = g.min(axis=1), g.max(axis=1)
+    scale = np.where(hi > lo, (hi - lo) / 15.0, 1.0)
+    q = np.clip(np.round((g - lo[:, None]) / scale[:, None]), 0, 15).astype(np.uint8)
+    flat = q.reshape(-1)
+    packed = (flat[0::2] << 4) | flat[1::2]
+    return {"kind": "gq4", "codes": packed, "scales": scale.astype(np.float16),
+            "mins": (-lo).astype(np.float16), "shape": tuple(shape), "block": block}
+
+
+def dequantize_gq4(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    packed = jnp.asarray(q["codes"])
+    flat = jnp.stack([(packed >> 4) & 0xF, packed & 0xF], axis=-1).reshape(-1)
+    block = q.get("block") or 32
+    g = flat.reshape(-1, block).astype(jnp.float32)
+    vals = g * jnp.asarray(q["scales"], jnp.float32)[:, None] \
+        - jnp.asarray(q["mins"], jnp.float32)[:, None]
+    n = int(np.prod(q["shape"]))
+    return vals.reshape(-1)[:n].reshape(q["shape"]).astype(dtype)
+
+
+def quantize_gq8(w: np.ndarray, block: int = 32) -> Dict[str, Any]:
+    """Asymmetric 8-bit (int8 codes 0..255 offset to −128..127 unused —
+    codes stay in 0..255 range mapped via min)."""
+    shape = w.shape
+    g = np.asarray(w, np.float32).reshape(-1, block)
+    lo, hi = g.min(axis=1), g.max(axis=1)
+    scale = np.where(hi > lo, (hi - lo) / 127.0, 1.0)
+    q = np.clip(np.round((g - lo[:, None]) / scale[:, None]), 0, 127).astype(np.int8)
+    return {"kind": "gq8", "codes": q.reshape(-1), "scales": scale.astype(np.float16),
+            "mins": (-lo).astype(np.float16), "shape": tuple(shape), "block": block}
+
+
+def dequantize_gq8(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
+    block = q.get("block") or 32
+    g = jnp.asarray(q["codes"], jnp.int8).reshape(-1, block).astype(jnp.float32)
+    vals = g * jnp.asarray(q["scales"], jnp.float32)[:, None] \
+        - jnp.asarray(q["mins"], jnp.float32)[:, None]
+    n = int(np.prod(q["shape"]))
+    return vals.reshape(-1)[:n].reshape(q["shape"]).astype(dtype)
+
+
+_DEQUANT = {"nf4": dequantize_nf4, "q8_0": dequantize_q8_0, "q4_0": dequantize_q4_0,
+            "gq4": dequantize_gq4, "gq8": dequantize_gq8}
+_QUANT = {"nf4": quantize_nf4, "q8_0": quantize_q8_0, "q4_0": quantize_q4_0,
+          "gq4": quantize_gq4, "gq8": quantize_gq8}
 
 
 def dequantize(leaf: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
@@ -239,10 +299,35 @@ def quantize_tree(params: Dict[str, Any], kind: str, min_size: int = 1 << 16,
     return map_leaves(visit, params)
 
 
+def leaf_to_device(q: Mapping[str, Any]) -> "QuantTensor":
+    """Quant leaf dict (optionally kernel-prepared) → device QuantTensor.
+    Keeps only the kernel layout when present (no duplicate flat copy)."""
+    has2d = q.get("codes2d") is not None
+    mins = q.get("mins")
+    mins2d = q.get("mins2d")
+    return QuantTensor(
+        q["kind"], q["shape"],
+        None if has2d else jnp.asarray(q["codes"]),
+        None if has2d else jnp.asarray(np.asarray(q["scales"], np.float32)),
+        jnp.asarray(q["codes2d"]) if has2d else None,
+        jnp.asarray(np.asarray(q["scales2d"], np.float32)) if has2d else None,
+        mins=(jnp.asarray(np.asarray(mins, np.float32))
+              if mins is not None and not has2d else None),
+        mins2d=(jnp.asarray(np.asarray(mins2d, np.float32))
+                if mins2d is not None and has2d else None),
+        block=q.get("block"),
+    )
+
+
 def to_device(qleaf: Mapping[str, Any]) -> Dict[str, Any]:
-    return {
+    out = {
         "kind": qleaf["kind"],
         "codes": jnp.asarray(qleaf["codes"]),
         "scales": jnp.asarray(qleaf["scales"]),
         "shape": tuple(qleaf["shape"]),
     }
+    if qleaf.get("mins") is not None:
+        out["mins"] = jnp.asarray(qleaf["mins"])
+    if qleaf.get("block") is not None:
+        out["block"] = qleaf["block"]
+    return out

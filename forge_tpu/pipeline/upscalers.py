@@ -187,24 +187,54 @@ class UpscalerRegistry:
                 name = os.path.splitext(os.path.basename(path))[0]
                 self.upscalers[name] = Upscaler(name, self._make_gan_fn(path), 4)
 
+    def _load_model(self, path: str):
+        """Sniff architecture from checkpoint keys: SwinIR (residual_group),
+        RRDB/ESRGAN/RealESRGAN otherwise. → (apply_fn [1,t,t,3]→[1,st,st,3],
+        model_scale)."""
+        cached = self._gan_cache.get(path)
+        if cached is not None:
+            return cached
+        from ..core.state_dict import load_state_dict, transform_for_jax
+        from ..core.tree import nest
+
+        raw = load_state_dict(path)
+        for wrap in ("params_ema", "params"):
+            if wrap in raw and isinstance(raw[wrap], dict):
+                raw = raw[wrap]
+                break
+        if any("residual_group" in k for k in raw):
+            from ..models.swinir import infer_swinir_meta, load_swinir, swinir_apply
+
+            params = load_swinir(path)
+            meta = infer_swinir_meta(params)
+            model_scale = meta["scale"]
+            apply_fn = jax.jit(lambda t: swinir_apply(
+                params, t, window_size=meta["window_size"],
+                heads=meta["heads"], scale=model_scale))
+        else:
+            sd = convert_esrgan_keys(raw)
+            params = nest(transform_for_jax(sd))
+            model_scale = 4
+            apply_fn = jax.jit(lambda t: rrdbnet_apply(params, t, model_scale))
+        self._gan_cache[path] = (apply_fn, model_scale)
+        return self._gan_cache[path]
+
     def _make_gan_fn(self, path: str):
         def fn(img: np.ndarray, scale: float) -> np.ndarray:
-            params = self._gan_cache.get(path)
-            if params is None:
-                from ..core.state_dict import load_state_dict, transform_for_jax
-                from ..core.tree import nest
-
-                sd = convert_esrgan_keys(load_state_dict(path))
-                params = nest(transform_for_jax(sd))
-                self._gan_cache[path] = params
-
-            model_scale = 4
+            apply_fn, model_scale = self._load_model(path)
             x = np.asarray(img, np.float32)
             if x.max() > 1.5:
                 x = x / 255.0
 
-            jit_fn = jax.jit(lambda t: rrdbnet_apply(params, t, model_scale))
-            out = tiled_upscale(x, jit_fn, model_scale)
+            from ..runtime.options import opts
+
+            try:
+                tile = int(opts.get("ESRGAN_tile"))
+                ov = int(opts.get("ESRGAN_tile_overlap"))
+            except KeyError:
+                tile, ov = 192, 8
+            out = tiled_upscale(x, apply_fn, model_scale,
+                                tile_size=tile or 192, overlap=max(ov, 1))
             out = np.clip(out, 0, 1)
             if abs(scale - model_scale) > 1e-6:
                 out = upscale_pil((out * 255).astype(np.uint8), scale / model_scale) / 255.0

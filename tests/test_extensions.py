@@ -444,3 +444,41 @@ def test_fooocus_inpaint_e2e(engine):
     assert np.isfinite(out.astype(np.float32)).all()
     assert not np.array_equal(base, out)
     assert p.extra_generation_params["Fooocus inpaint"] == "True"
+
+
+def test_hypernetwork_apply(engine):
+    """Legacy hypernetwork: per-dim k/v context MLPs change the image;
+    identity-weight modules are a no-op (residual form)."""
+    from forge_tpu.extensions.hypernetworks import (
+        Hypernetwork, attach as attach_hn, load_hypernetwork)
+
+    ctx_dim = engine.loaded.unet["input_blocks"]["1"]["1"]["transformer_blocks"]["0"][
+        "attn2"]["to_k"]["weight"].shape[1]
+    rng = np.random.default_rng(23)
+
+    def module_sd(scale):
+        return {
+            "linear1.weight": (rng.standard_normal((ctx_dim * 2, ctx_dim)) * scale).astype(np.float32),
+            "linear1.bias": np.zeros(ctx_dim * 2, np.float32),
+            "linear2.weight": (rng.standard_normal((ctx_dim, ctx_dim * 2)) * scale).astype(np.float32),
+            "linear2.bias": np.zeros(ctx_dim, np.float32),
+        }
+
+    hn = load_hypernetwork({ctx_dim: [module_sd(0.05), module_sd(0.05)],
+                            "activation_func": "relu"}, name="test-hn")
+    assert ctx_dim in hn.modules
+
+    base = process_images(engine, Processing(prompt="cat", seed=51, steps=2,
+                                             width=32, height=32)).images[0]
+    p = Processing(prompt="cat", seed=51, steps=2, width=32, height=32)
+    attach_hn(p, hn)
+    out = process_images(engine, p).images[0]
+    assert not np.array_equal(base, out)
+    assert p.extra_generation_params["Hypernet"] == "test-hn"
+
+    # zero-weight modules → residual is identity → same image as base
+    hn0 = load_hypernetwork({ctx_dim: [module_sd(0.0), module_sd(0.0)]})
+    p0 = Processing(prompt="cat", seed=51, steps=2, width=32, height=32)
+    attach_hn(p0, hn0)
+    out0 = process_images(engine, p0).images[0]
+    assert np.array_equal(base, out0)

@@ -93,3 +93,49 @@ def test_image_saved_callbacks(tmp_path):
     finally:
         scripts_mod.clear("before_image_saved")
         scripts_mod.clear("image_saved")
+
+
+def test_extension_manager(tmp_path):
+    """Discovery, metadata ordering, disable flags, script loading, and
+    config-state snapshot (reference modules/extensions.py + config_states)."""
+    import os
+
+    from forge_tpu.runtime.extensions import (
+        list_extensions, load_extension_scripts, restore_config_state,
+        save_config_state)
+    from forge_tpu.runtime.options import opts
+    from forge_tpu.runtime.scripts import ScriptRunner
+
+    base = tmp_path / "extensions"
+    for name, meta, script in [
+        ("zeta", "[Extension]\nName = zeta\nRequires = alpha\n",
+         "from forge_tpu.runtime.scripts import Script\n"
+         "class Z(Script):\n    name = 'zeta-script'\n"),
+        ("alpha", "",
+         "from forge_tpu.runtime.scripts import Script\n"
+         "class A(Script):\n    name = 'alpha-script'\n"),
+    ]:
+        d = base / name / "scripts"
+        os.makedirs(d)
+        (base / name / "metadata.ini").write_text(meta)
+        (d / "main.py").write_text(script)
+
+    exts = list_extensions([str(base)])
+    assert [e.name for e in exts] == ["alpha", "zeta"]  # Requires ordering
+    assert all(e.enabled for e in exts)
+
+    with opts.override({"disabled_extensions": ["zeta"]}):
+        exts2 = list_extensions([str(base)])
+        assert {e.name: e.enabled for e in exts2} == {"alpha": True, "zeta": False}
+
+        runner = ScriptRunner()
+        load_extension_scripts(runner, [str(base)])
+        assert [s.name for s in runner.scripts] == ["alpha-script"]
+
+    # config state snapshot round-trips option values
+    opts.set("jpeg_quality", 42, run_onchange=False)
+    path = save_config_state("t", dirname=str(tmp_path / "cs"))
+    opts.set("jpeg_quality", 80, run_onchange=False)
+    restore_config_state(path)
+    assert opts.get("jpeg_quality") == 42
+    opts.set("jpeg_quality", 80, run_onchange=False)

@@ -43,6 +43,17 @@ def main(argv=None):
     if args.attention != "auto":
         set_attention_impl(args.attention)
 
+    # extension discovery + script loading (runtime/extensions.py; reference
+    # initialize.py list_extensions → scripts.load_scripts)
+    from forge_tpu.runtime.extensions import load_extension_scripts
+    from forge_tpu.runtime.scripts import fire, scripts_img2img, scripts_txt2img
+
+    exts = load_extension_scripts(scripts_txt2img)
+    load_extension_scripts(scripts_img2img)
+    if exts:
+        enabled = sum(e.enabled for e in exts)
+        print(f"extensions: {enabled} enabled / {len(exts)} found")
+
     models = ModelManager(
         checkpoint_dirs=[args.ckpt_dir],
         vae_dirs=[args.vae_dir],
