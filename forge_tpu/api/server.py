@@ -80,6 +80,10 @@ def _processing_from_payload(payload: Dict[str, Any]) -> Processing:
         field = _API_ALIASES.get(key, key)
         if field and field in _PROCESSING_FIELDS:
             kwargs[field] = value
+    # reference API semantics: requests don't write to outputs/ unless
+    # save_images is passed (api.py models save_images=False default)
+    kwargs.setdefault("do_not_save_samples", not payload.get("save_images", False))
+    kwargs.setdefault("do_not_save_grid", not payload.get("save_images", False))
     # webui inpainting_fill is an int enum: 0 fill, 1 original, 2 latent noise, 3 latent nothing
     if isinstance(kwargs.get("inpainting_fill"), int):
         kwargs["inpainting_fill"] = ["fill", "original", "latent_noise", "latent_nothing"][

@@ -21,21 +21,49 @@ def to_pil(arr: np.ndarray) -> Image.Image:
     return Image.fromarray(np.asarray(arr, dtype=np.uint8))
 
 
+def _opt(key, default):
+    from ..runtime.options import opts
+
+    try:
+        return opts.get(key)
+    except KeyError:
+        return default
+
+
 def save_image(
     image,
     path: Optional[str] = None,
     outdir: str = "outputs",
     infotext: Optional[str] = None,
-    file_format: str = "png",
-    filename_pattern: str = "[seed]-[prompt_spaces]",
+    file_format: Optional[str] = None,
+    filename_pattern: Optional[str] = None,
     seed: int = 0,
     prompt: str = "",
-    quality: int = 95,
+    quality: Optional[int] = None,
+    **pattern_extra,
 ) -> str:
+    """Save with metadata, honoring the reference's saving options
+    (images.py:627-788): enable_pnginfo, save_to_dirs + directory pattern,
+    samples_filename_pattern, add-number suffixing, jpeg_quality,
+    webp_lossless, save_txt sidecar, log.csv append."""
     img = image if isinstance(image, Image.Image) else to_pil(image)
+    file_format = (file_format or str(_opt("samples_format", "png"))).lower()
+    quality = int(quality if quality is not None else _opt("jpeg_quality", 80))
     if path is None:
+        if _opt("save_to_dirs", True):
+            sub = apply_filename_pattern(
+                str(_opt("directories_filename_pattern", "[date]")) or "[date]",
+                seed=seed, prompt=prompt, **pattern_extra)
+            outdir = os.path.join(outdir, sub)
         os.makedirs(outdir, exist_ok=True)
-        name = apply_filename_pattern(filename_pattern, seed=seed, prompt=prompt)
+        pattern = filename_pattern or str(
+            _opt("samples_filename_pattern", "") or "[seed]-[prompt_spaces]")
+        name = apply_filename_pattern(pattern, seed=seed, prompt=prompt,
+                                      **pattern_extra)
+        if _opt("save_images_add_number", True):
+            existing = len([f for f in os.listdir(outdir)
+                            if f.split("-")[0].isdigit()])
+            name = f"{existing:05d}-{name}"
         base = os.path.join(outdir, name)
         path = f"{base}.{file_format}"
         i = 1
@@ -47,19 +75,54 @@ def save_image(
 
     fire("before_image_saved", path, img, infotext)
 
-    if file_format.lower() == "png":
+    write_info = bool(_opt("enable_pnginfo", True))
+    if file_format == "png":
         pnginfo = PngImagePlugin.PngInfo()
-        if infotext:
+        if infotext and write_info:
             pnginfo.add_text("parameters", infotext)
         img.save(path, format="PNG", pnginfo=pnginfo)
-    elif file_format.lower() in ("jpg", "jpeg", "webp"):
+    elif file_format in ("jpg", "jpeg"):
         img.save(path, quality=quality)
-        if infotext:
+        if infotext and write_info:
             _save_exif_comment(path, infotext)
+    elif file_format == "webp":
+        img.save(path, quality=quality, lossless=bool(_opt("webp_lossless", False)))
+        if infotext and write_info:
+            _save_exif_comment(path, infotext)
+    elif file_format in ("avif", "gif"):
+        try:
+            img.save(path)
+        except Exception:  # PIL without AVIF plugin → fall back to png
+            path = os.path.splitext(path)[0] + ".png"
+            img.save(path, format="PNG")
     else:
         img.save(path)
+
+    if infotext and _opt("save_txt", False):
+        with open(os.path.splitext(path)[0] + ".txt", "w", encoding="utf8") as f:
+            f.write(infotext + "\n")
+    if _opt("save_write_log_csv", True) and infotext:
+        _append_log_csv(os.path.dirname(path), path, prompt, seed, infotext)
     fire("image_saved", path, img, infotext)
     return path
+
+
+def _append_log_csv(dirname: str, path: str, prompt: str, seed: int,
+                    infotext: str) -> None:
+    """log.csv next to saved images (reference ui_common save log)."""
+    import csv
+
+    log = os.path.join(dirname, "log.csv")
+    new = not os.path.exists(log)
+    try:
+        with open(log, "a", newline="", encoding="utf8") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["filename", "prompt", "seed", "infotext"])
+            w.writerow([os.path.basename(path), prompt, seed,
+                        infotext.replace("\n", " | ")])
+    except OSError:
+        pass
 
 
 def _save_exif_comment(path: str, text: str):
@@ -81,25 +144,47 @@ _INVALID_FN = re.compile(r'[\\/:*?"<>|\n\r]')
 
 
 def apply_filename_pattern(pattern: str, seed: int = 0, prompt: str = "", **extra) -> str:
+    """FilenameGenerator token subset (reference images.py:384 — the tokens
+    that have a server-side meaning here; UI/style tokens resolve empty)."""
+    import hashlib
+
     now = datetime.datetime.now()
     words = _INVALID_FN.sub("", prompt)[:120]
+    max_words = int(_opt("directories_max_prompt_words", 8))
+    prompt_words = "_".join(words.split()[:max_words]) or "empty"
     repl = {
         "[seed]": str(seed),
+        "[seed_first]": str(extra.get("seed_first", seed)),
         "[prompt_spaces]": words,
         "[prompt]": words.replace(" ", "_"),
+        "[prompt_no_styles]": words.replace(" ", "_"),
+        "[prompt_words]": prompt_words,
+        "[prompt_hash]": hashlib.sha256(prompt.encode()).hexdigest()[:8],
         "[date]": now.strftime("%Y-%m-%d"),
         "[datetime]": now.strftime("%Y%m%d%H%M%S"),
+        "[job_timestamp]": str(extra.get("job_timestamp",
+                                         now.strftime("%Y%m%d%H%M%S"))),
         "[width]": str(extra.get("width", "")),
         "[height]": str(extra.get("height", "")),
         "[model_name]": str(extra.get("model_name", "")),
+        "[model_hash]": str(extra.get("model_hash", "")),
         "[sampler]": str(extra.get("sampler", "")),
+        "[sampler_scheduler]": str(extra.get("sampler_scheduler", "")),
         "[steps]": str(extra.get("steps", "")),
         "[cfg]": str(extra.get("cfg", "")),
+        "[denoising]": str(extra.get("denoising", "")),
+        "[clip_skip]": str(extra.get("clip_skip", "")),
+        "[batch_number]": str(extra.get("batch_number", "")),
+        "[generation_number]": str(extra.get("generation_number", "")),
+        "[user]": str(extra.get("user", "")),
+        "[image_hash]": str(extra.get("image_hash", "")),
+        "[none]": "",
+        "[styles]": "",
     }
     out = pattern
     for k, v in repl.items():
         out = out.replace(k, v)
-    return out or str(seed)
+    return out.strip("-_ ") or str(seed)
 
 
 def _match_histogram_channel(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:

@@ -56,6 +56,8 @@ class Processing:
     distilled_cfg_scale: float = 3.5  # Flux guidance embed
     tiling: bool = False
     restore_faces: bool = False
+    do_not_save_samples: bool = False
+    do_not_save_grid: bool = False
     image_cfg_scale: Optional[float] = None  # instruct-pix2pix style
     user: Optional[str] = None
     # filled from the live engine/model manager for infotext (reference
@@ -562,8 +564,48 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             if runner is not None:
                 img = runner.postprocess_image(p, img, index=b)
             images.append(img)
-            infotexts.append(create_infotext(p, seeds[b], subseeds[b]))
+            info = create_infotext(p, seeds[b], subseeds[b])
+            infotexts.append(info)
+            if _opt_bool("samples_save") and not getattr(p, "do_not_save_samples", False):
+                from ..runtime.options import opts as _o
+                from .images import save_image
+
+                outdir = (_o.get("outdir_samples")
+                          or _o.get("outdir_img2img_samples" if is_img2img
+                                    else "outdir_txt2img_samples"))
+                try:
+                    save_image(
+                        img, outdir=outdir, infotext=info, seed=seeds[b],
+                        prompt=p.prompt, width=p.width, height=p.height,
+                        model_name=p.sd_model_name or "",
+                        model_hash=p.sd_model_hash or "",
+                        sampler=p.sampler_name, steps=p.steps, cfg=p.cfg_scale,
+                        batch_number=b, generation_number=it * p.batch_size + b,
+                    )
+                except OSError as e:
+                    print(f"image save failed: {e}")
         timings["post"] = time.time() - ts
+
+    # grid save (reference processing.py:1120-1140 + images.py:22-100)
+    if (len(images) > 1 and not p.do_not_save_grid and _opt_bool("grid_save")
+            and (not _opt_bool("grid_only_if_multiple") or len(images) > 1)):
+        from ..runtime.options import opts as _o
+        from .images import image_grid, save_image
+
+        try:
+            n_rows = int(_o.get("n_rows"))
+        except KeyError:
+            n_rows = -1
+        grid = image_grid(images, rows=n_rows if n_rows > 0 else None)
+        outdir = (_o.get("outdir_grids")
+                  or _o.get("outdir_img2img_grids" if is_img2img
+                            else "outdir_txt2img_grids"))
+        try:
+            save_image(grid, outdir=outdir, infotext=infotexts[0],
+                       seed=p.all_seeds[0], prompt=p.prompt,
+                       filename_pattern="grid-[seed]-[prompt_words]")
+        except OSError as e:
+            print(f"grid save failed: {e}")
 
     timings["total"] = time.time() - t0
     processed = Processed(

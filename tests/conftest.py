@@ -25,3 +25,11 @@ def pytest_configure(config):
     # sharding coverage claim depends on it.
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_sessionstart(session):
+    # keep tests hermetic: never write outputs/ or params.txt from suites
+    from forge_tpu.runtime.options import opts
+
+    opts.set("samples_save", False, run_onchange=False)
+    opts.set("save_write_params_txt", False, run_onchange=False)

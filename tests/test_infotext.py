@@ -249,3 +249,44 @@ def test_color_correction_matches_histogram():
     assert out.shape == src.shape
     # corrected image's brightness moves toward the target's
     assert abs(out.mean() - target.mean()) < abs(src.mean() - target.mean())
+
+
+def test_save_image_options(tmp_path):
+    """save_image honors format/quality/save_txt/log.csv/date-dirs options
+    and embeds infotext (reference images.py:627-788)."""
+    import os
+
+    import numpy as np
+
+    from forge_tpu.pipeline.images import read_infotext, save_image
+    from forge_tpu.runtime.options import opts
+
+    img = np.full((16, 16, 3), 200, np.uint8)
+    with opts.override({"save_to_dirs": False, "save_txt": True,
+                        "save_write_log_csv": True, "samples_format": "png",
+                        "samples_filename_pattern": "[seed]-[prompt_words]"}):
+        path = save_image(img, outdir=str(tmp_path), infotext="a cat\nSteps: 3",
+                          seed=7, prompt="a cat on a mat")
+    assert os.path.basename(path).endswith("7-a_cat_on_a_mat.png")
+    assert read_infotext(path) == "a cat\nSteps: 3"
+    assert os.path.exists(os.path.splitext(path)[0] + ".txt")
+    assert os.path.exists(tmp_path / "log.csv")
+
+    with opts.override({"save_to_dirs": True,
+                        "directories_filename_pattern": "[date]"}):
+        path2 = save_image(img, outdir=str(tmp_path), infotext="x\nSteps: 1",
+                           seed=1, prompt="p")
+    import datetime
+
+    assert datetime.datetime.now().strftime("%Y-%m-%d") in path2
+
+
+def test_filename_tokens():
+    from forge_tpu.pipeline.images import apply_filename_pattern
+
+    out = apply_filename_pattern(
+        "[model_name]-[sampler]-[steps]-[cfg]-[prompt_hash]",
+        seed=3, prompt="hello world", model_name="sd15", sampler="Euler a",
+        steps=20, cfg=7.0)
+    assert out.startswith("sd15-Euler a-20-7.0-")
+    assert apply_filename_pattern("[none]", seed=9) == "9"
