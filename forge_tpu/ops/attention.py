@@ -55,7 +55,11 @@ def attention(
     vh = v.reshape(b, lk, heads, dim).transpose(0, 2, 1, 3)
 
     impl = impl or _IMPL or default_impl()
-    if impl == "flash" and mask is None:
+    # Measured on v5e: the unfused einsum materializes [B,H,L,L] f32 logits
+    # in HBM — in-model that traffic loses to the blocked kernel even at
+    # L=1024 where standalone microbenches suggest otherwise. Flash for all
+    # non-trivial lengths; einsum only for tiny sequences and masked calls.
+    if impl == "flash" and mask is None and lq >= 512:
         out = flash_attention(qh, kh, vh, scale=scale)
     else:
         out = xla_attention(qh, kh, vh, scale=scale, mask=mask)

@@ -87,6 +87,13 @@ class DiffusionEngine:
         self.clip_skip = 1
         self.mesh = None  # set by attach_mesh for multi-chip serving
 
+    def enable_host_offload(self, hbm_budget: Optional[int] = None) -> str:
+        """Low-HBM mode: stream UNet weights from pinned host memory
+        (runtime/offload.py — the TPU-native CPU-swap replacement)."""
+        from ..runtime.offload import enable_engine_offload
+
+        return enable_engine_offload(self, hbm_budget)
+
     def attach_mesh(self, mesh, tensor_parallel: bool = False):
         """Place this engine on a device mesh for multi-chip serving:
         batch fans out over the 'dp' axis; with tensor_parallel=True the

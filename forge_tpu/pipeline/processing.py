@@ -203,7 +203,7 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
         "sample", kind, engine.family, p.sampler_name, sig_hash, shape,
         skip_uncond, float(p.s_churn), float(p.s_noise), p.eta,
         float(getattr(p, "eta_ddim", 0.0)), p.cfg_rescale,
-        len(branches), weights,
+        len(branches), weights, bool(getattr(engine, "_offload_active", False)),
     )
 
 
@@ -260,6 +260,17 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
                      masked: bool, sigmas_np: np.ndarray, progress: bool = False):
     info = get_sampler(p.sampler_name)
     apply_raw = engine.unet_apply_fn(hooks=p.unet_hooks, controlnets=p.controlnets)
+    if getattr(engine, "_offload_active", False):
+        # weights stream host→HBM inside each denoise call (runtime/offload.py);
+        # fetching here (inside the scan body) keeps them from being hoisted
+        # into loop-invariant HBM residents.
+        from ..runtime.offload import fetch_to_device
+
+        _raw = apply_raw
+
+        def apply_raw(params, *a, **kw):  # noqa: F811 — offload-wrapped
+            return _raw(fetch_to_device(params), *a, **kw)
+
     predictor = engine.predictor
 
     branch_weights = getattr(p, "_branch_weights", None)

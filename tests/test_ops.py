@@ -98,3 +98,22 @@ def test_timestep_embedding_convention():
     emb = np.asarray(nn.timestep_embedding(jnp.asarray([0.0]), 8))
     assert np.allclose(emb[0, :4], 1.0)
     assert np.allclose(emb[0, 4:], 0.0)
+
+
+def test_flash_attention_dispatch_shapes():
+    """The dispatcher (own kernel / bundled kernel / einsum) is numerically
+    consistent across the in-model shape zoo, including odd kv lengths
+    (cross-attention) and non-lane-aligned head dims."""
+    from forge_tpu.ops.attention import xla_attention
+    from forge_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    for b, h, lq, lk, d in [(2, 4, 256, 256, 64), (1, 2, 512, 154, 64),
+                            (2, 10, 1024, 1024, 64), (1, 8, 256, 256, 40)]:
+        q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+        ref = np.asarray(xla_attention(q, k, v, scale=d ** -0.5))
+        out = np.asarray(flash_attention(q, k, v, interpret=True))
+        assert np.allclose(out, ref, atol=2e-3), (b, h, lq, lk, d,
+                                                  np.abs(out - ref).max())

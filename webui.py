@@ -26,6 +26,12 @@ def parse_args(argv=None):
     ap.add_argument("--ckpt", default=None, help="checkpoint to load at startup")
     ap.add_argument("--attention", choices=["auto", "flash", "xla"], default="auto")
     ap.add_argument("--unet-dtype", choices=["auto", "bfloat16", "float32"], default="auto")
+    ap.add_argument("--unet-offload", action="store_true",
+                    help="stream UNet weights from pinned host memory (low-HBM "
+                         "mode; the reference's CPU-swap analog)")
+    ap.add_argument("--gpu-weights-mb", type=int, default=0,
+                    help="HBM budget for resident weights in MB (0 = auto); "
+                         "the reference's 'GPU Weights' slider")
     ap.add_argument("--config", default="config.json", help="options persistence file")
     return ap.parse_args(argv)
 
@@ -63,8 +69,11 @@ def main(argv=None):
 
     if args.ckpt:
         print(f"loading {args.ckpt} ...")
-        work_queue.run_and_wait(models.load, args.ckpt)
+        engine = work_queue.run_and_wait(models.load, args.ckpt)
         opts.set("sd_model_checkpoint", args.ckpt, run_onchange=False)
+        if args.unet_offload:
+            budget = args.gpu_weights_mb * (1 << 20) if args.gpu_weights_mb else None
+            print(engine.enable_host_offload(budget))
     elif models.checkpoints:
         first = next(iter(models.checkpoints))
         opts.set("sd_model_checkpoint", first, run_onchange=False)
