@@ -66,6 +66,32 @@ def conv2d(
     return y
 
 
+def conv2d_transpose(
+    x: jax.Array,
+    p: Mapping[str, Any],
+    stride: int = 2,
+    padding: int = 0,
+) -> jax.Array:
+    """NHWC transpose conv matching torch ConvTranspose2d semantics.
+
+    Torch stores the kernel [I, O, kh, kw]; the loader's generic 4-d
+    transform yields [kh, kw, O, I], which is exactly the forward-conv HWIO
+    kernel `lax.conv_transpose(transpose_kernel=True)` expects (verified vs
+    torch in tests/test_upscalers_extra.py)."""
+    w = p["weight"].astype(x.dtype)
+    y = jax.lax.conv_transpose(
+        x, w, strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        precision=_PRECISION,
+    )
+    if padding:  # torch semantics: output = (H-1)·s − 2p + k → crop p/side
+        y = y[:, padding:-padding, padding:-padding]
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
 def group_norm(
     x: jax.Array,
     p: Optional[Mapping[str, Any]] = None,
@@ -84,9 +110,13 @@ def group_norm(
     c = shape[-1]
     xf = x.astype(jnp.float32).reshape(*shape[:-1], num_groups, c // num_groups)
     # Reduce over all dims except batch and group: for NHWC that is (H, W, c/g).
+    # E[x²]−E[x]² single-pass stats: both reductions fuse into ONE read of x
+    # (the (x−mean)² form forces a second HBM pass). f32 accumulators keep
+    # the cancellation error ≪ bf16 activation noise.
     axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
     mean = jnp.mean(xf, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    m2 = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     xf = xf.reshape(shape)
     if p is not None:
@@ -103,7 +133,8 @@ def layer_norm(
 ) -> jax.Array:
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    m2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)  # one-pass stats (see group_norm)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     if p is not None and "weight" in p:
         xf = xf * p["weight"].astype(jnp.float32)

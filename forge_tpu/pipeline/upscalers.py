@@ -188,9 +188,11 @@ class UpscalerRegistry:
                 self.upscalers[name] = Upscaler(name, self._make_gan_fn(path), 4)
 
     def _load_model(self, path: str):
-        """Sniff architecture from checkpoint keys: SwinIR (residual_group),
-        RRDB/ESRGAN/RealESRGAN otherwise. → (apply_fn [1,t,t,3]→[1,st,st,3],
-        model_scale)."""
+        """Sniff architecture from checkpoint keys (the spandrel-registry
+        equivalent, modules/modelloader.py:load_spandrel_model): HAT
+        (overlap_attn), SwinIR (residual_group), DAT (spatial_interaction +
+        before_RG), SCUNet (m_head + Swin-Conv trans_block), RRDB/ESRGAN/
+        RealESRGAN otherwise. → (apply_fn [1,t,t,3]→[1,st,st,3], scale)."""
         cached = self._gan_cache.get(path)
         if cached is not None:
             return cached
@@ -202,7 +204,14 @@ class UpscalerRegistry:
             if wrap in raw and isinstance(raw[wrap], dict):
                 raw = raw[wrap]
                 break
-        if any("residual_group" in k for k in raw):
+        if any("overlap_attn" in k for k in raw):
+            from ..models.hat import hat_apply, infer_hat_meta, load_hat
+
+            params = load_hat(path)
+            meta = infer_hat_meta(params)
+            model_scale = meta["scale"]
+            apply_fn = jax.jit(lambda t: hat_apply(params, t, **meta))
+        elif any("residual_group" in k for k in raw):
             from ..models.swinir import infer_swinir_meta, load_swinir, swinir_apply
 
             params = load_swinir(path)
@@ -211,6 +220,22 @@ class UpscalerRegistry:
             apply_fn = jax.jit(lambda t: swinir_apply(
                 params, t, window_size=meta["window_size"],
                 heads=meta["heads"], scale=model_scale))
+        elif any("spatial_interaction" in k for k in raw) and any(
+                k.startswith("before_RG") for k in raw):
+            from ..models.dat import dat_apply, infer_dat_meta, load_dat
+
+            params = load_dat(path)
+            meta = infer_dat_meta(params)
+            model_scale = meta["scale"]
+            apply_fn = jax.jit(lambda t: dat_apply(params, t, heads=meta["heads"],
+                                                   scale=model_scale))
+        elif any("trans_block.msa" in k for k in raw):
+            from ..models.scunet import infer_scunet_meta, load_scunet, scunet_apply
+
+            params = load_scunet(path)
+            meta = infer_scunet_meta(params)
+            model_scale = 1  # SCUNet denoises at native resolution
+            apply_fn = jax.jit(lambda t: scunet_apply(params, t, **meta))
         else:
             sd = convert_esrgan_keys(raw)
             params = nest(transform_for_jax(sd))
