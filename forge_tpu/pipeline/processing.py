@@ -111,6 +111,12 @@ class Processing:
     # compiled loop is split at phase boundaries (the scan-world analog of the
     # reference's per-call sigma gating in timestep-ranged patches)
     hook_phases: Optional[List[Tuple[float, Dict[str, Any]]]] = None
+    # regional prompts: extra cond branches blended by a spatial multiplier
+    # map (the reference's per-cond area/mask machinery,
+    # backend/sampling/sampling_function.py:17-63). Each entry:
+    # {prompt, weight?, area? [x,y,w,h] fractions, mask? [H,W] 0..1,
+    #  mask_strength?, feather?}  — area XOR mask; feather in latent px.
+    regional_prompts: Optional[List[Dict[str, Any]]] = None
 
 
 @dataclasses.dataclass
@@ -179,6 +185,63 @@ def _build_scheduled_cond(engine, p, prompts, max_chunks=None, is_negative=False
     return conds[0], conds[1:], weights
 
 
+def _region_mult_map(spec: Dict[str, Any], lh: int, lw: int) -> np.ndarray:
+    """Latent-resolution multiplier map for one regional prompt.
+
+    Area rects get the reference's feathered border ramp
+    (backend/sampling/sampling_function.py:49-62: 8-step linear ramp on every
+    edge not touching the canvas); image-res masks are resized to latent
+    resolution and scaled by mask_strength (:36-44)."""
+    if spec.get("mask") is not None:
+        from PIL import Image
+
+        mask = np.asarray(spec["mask"], np.float32)
+        if mask.ndim == 3:
+            mask = mask.mean(-1)
+        if mask.max() > 1.5:
+            mask = mask / 255.0
+        img = Image.fromarray(np.clip(mask * 255, 0, 255).astype(np.uint8))
+        m = np.asarray(img.resize((lw, lh), Image.BILINEAR), np.float32) / 255.0
+        return m * float(spec.get("mask_strength", 1.0))
+    x, y, w, h = spec.get("area", (0.0, 0.0, 1.0, 1.0))
+    x0 = int(round(x * lw))
+    y0 = int(round(y * lh))
+    x1 = min(lw, x0 + max(1, int(round(w * lw))))
+    y1 = min(lh, y0 + max(1, int(round(h * lh))))
+    m = np.zeros((lh, lw), np.float32)
+    m[y0:y1, x0:x1] = 1.0
+    rr = int(spec.get("feather", 8))
+    for t in range(rr):
+        f = (t + 1) / rr
+        if y0 != 0 and y0 + t < y1:
+            m[y0 + t, x0:x1] *= f
+        if y1 != lh and y1 - 1 - t >= y0:
+            m[y1 - 1 - t, x0:x1] *= f
+        if x0 != 0 and x0 + t < x1:
+            m[y0:y1, x0 + t] *= f
+        if x1 != lw and x1 - 1 - t >= x0:
+            m[y0:y1, x1 - 1 - t] *= f
+    return m
+
+
+def _attach_regional_conds(engine, p, cond, branches, weights, max_chunks):
+    """Encode p.regional_prompts as extra cond branches with spatial
+    multiplier maps; the base prompt keeps a full-canvas map so uncovered
+    pixels fall back to it. → (branches, weights, masks)."""
+    branches = list(branches or [])
+    weights = list(weights or [1.0] * (1 + len(branches)))
+    masks: List[Any] = [None] * (1 + len(branches))
+    lh, lw = p.height // 8, p.width // 8
+    for spec in p.regional_prompts:
+        rcond, _, _ = _build_scheduled_cond(
+            engine, p, [spec["prompt"]] * p.batch_size,
+            max_chunks=max_chunks, allow_and=False)
+        branches.append(rcond)
+        weights.append(float(spec.get("weight", 1.0)))
+        masks.append(jnp.asarray(_region_mult_map(spec, lh, lw))[..., None])
+    return branches, weights, masks
+
+
 def _auto_schedule(sampler_name: str, scheduler: str) -> str:
     if scheduler and scheduler != "automatic":
         return scheduler
@@ -199,8 +262,15 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
 
     branches = getattr(p, "_cond_branches", None) or []
     weights = tuple(getattr(p, "_branch_weights", None) or ())
+    rmasks = getattr(p, "_branch_masks", None)
+    mask_sig = None
+    if rmasks:
+        mask_sig = tuple(
+            None if m is None else
+            hashlib.md5(np.asarray(m, np.float32).tobytes()).hexdigest()[:12]
+            for m in rmasks)
     return (
-        "sample", kind, engine.family, p.sampler_name, sig_hash, shape,
+        "sample", kind, engine.family, p.sampler_name, sig_hash, shape, mask_sig,
         skip_uncond, float(p.s_churn), float(p.s_noise), p.eta,
         float(getattr(p, "eta_ddim", 0.0)), p.cfg_rescale,
         len(branches), weights, bool(getattr(engine, "_offload_active", False)),
@@ -274,6 +344,7 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
     predictor = engine.predictor
 
     branch_weights = getattr(p, "_branch_weights", None)
+    branch_masks = getattr(p, "_branch_masks", None)
 
     def fn(unet_params, x, noise, cond, uncond, branches, cfg_scale, mask, init_latent):
         # σ values are compile-time constants (host numpy): samplers fold them
@@ -290,6 +361,7 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
             sigmas_np=sigmas_np,
             cond_branches=branches or None,
             branch_weights=branch_weights,
+            branch_masks=branch_masks,
             return_uncond=info.needs_uncond,
             cfg_combine_fn=(p.cfg_combine_hook.build(sigmas_np, predictor=predictor)
                             if hasattr(p.cfg_combine_hook, "build")
@@ -522,7 +594,11 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
         uncond, _, _ = _build_scheduled_cond(
             engine, p, negs, max_chunks=max_chunks, is_negative=True, allow_and=False
         )
-        p._cond_branches, p._branch_weights = branches, weights
+        masks = None
+        if p.regional_prompts:
+            branches, weights, masks = _attach_regional_conds(
+                engine, p, cond, branches, weights, max_chunks)
+        p._cond_branches, p._branch_weights, p._branch_masks = branches, weights, masks
         if engine.family in ("flux", "chroma"):
             g = jnp.full((p.batch_size,), p.distilled_cfg_scale, jnp.float32)
             cond = dict(cond, guidance=g)

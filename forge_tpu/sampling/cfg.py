@@ -84,6 +84,7 @@ def make_cfg_model_fn(
     sigmas_np=None,
     cond_branches: Optional[Sequence[Mapping[str, Any]]] = None,
     branch_weights: Optional[Sequence[float]] = None,
+    branch_masks: Optional[Sequence[Optional[jax.Array]]] = None,
     return_uncond: bool = False,
     cfg_combine_fn: Optional[Callable] = None,
 ) -> Callable:
@@ -102,6 +103,9 @@ def make_cfg_model_fn(
     if cond_branches:
         branches = [cond] + list(cond_branches)
         weights = list(branch_weights or [1.0] * len(branches))
+        masks = list(branch_masks) if branch_masks else None
+        if masks is not None and all(m is None for m in masks):
+            masks = None
 
         def model_fn_multi(x, sigma):
             sel = [_select_cond(c, sigma, sigmas_np) for c in branches]
@@ -111,6 +115,24 @@ def make_cfg_model_fn(
             xn = jnp.concatenate([x] * len(alln), axis=0)
             out = apply_model(xn, sigma, both)
             outs = jnp.split(out, len(alln), axis=0)
+            if masks is not None:
+                # regional conds, TPU-native: the reference crops each cond
+                # to its area and blends by a multiplier map
+                # (sampling_function.py:17-63 get_area_and_mult, :296-309
+                # accumulate/normalize); here every branch runs full-res
+                # (static shapes for XLA) and the same mult·out / Σmult
+                # normalized blend happens on the full grid.
+                mults = [jnp.asarray(w, jnp.float32) if m is None
+                         else m.astype(jnp.float32) * w
+                         for m, w in zip(masks, weights)]
+                denom = sum(jnp.broadcast_to(m, outs[0].shape) for m in mults)
+                denom = jnp.maximum(denom, 1e-6)
+                eps_mix = sum(m * e for m, e in zip(mults, outs[: len(branches)])) / denom
+                if sel_un is not None:
+                    eps_un = outs[-1]
+                    combo = eps_un + cfg_scale * (eps_mix - eps_un)
+                    return (combo, eps_un) if return_uncond else combo
+                return (eps_mix, eps_mix) if return_uncond else eps_mix
             if sel_un is not None:
                 eps_un = outs[-1]
                 combo = eps_un
