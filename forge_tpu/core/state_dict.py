@@ -201,14 +201,71 @@ def load_torch_object(path: str):
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".safetensors") or path.endswith(".sft"):
-        return load_safetensors(path)
+        return collapse_bnb_quant(load_safetensors(path))
     if path.endswith(".gguf"):
         from .gguf import load_gguf
 
         sd = load_gguf(path)
         sd.pop("__metadata__", None)
         return sd
-    return load_torch_ckpt(path)
+    return collapse_bnb_quant(load_torch_ckpt(path))
+
+
+def collapse_bnb_quant(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold bitsandbytes-serialized 4-bit layers into quantized leaf dicts.
+
+    Prequantized Forge/civitai checkpoints (e.g. flux1-dev-bnb-nf4) store,
+    per layer: `{k}.weight` (uint8 packed nibbles), `{k}.weight.absmax`,
+    `{k}.weight.quant_map`, `{k}.weight.quant_state.bitsandbytes__{nf4,fp4}`
+    (JSON metadata as a uint8 tensor) and, with double quantization,
+    `nested_absmax` / `nested_quant_map` (+ offset in the JSON). The
+    reference reconstructs bnb Params4bit from these
+    (backend/utils.py:121-128, operations_bnb.py); here NF4/block-64 layers
+    become this repo's fused-kernel leaves (ops/quant.py layout — identical
+    nibble packing and flattened block-64 absmax), everything else
+    dequantizes at load."""
+    qkeys = [k for k in sd if ".quant_state.bitsandbytes__" in k]
+    if not qkeys:
+        return sd
+    import json
+
+    from ..ops.quant import NF4_BLOCK, NF4_CODE
+
+    out = dict(sd)
+    for qk in qkeys:
+        base = qk.split(".quant_state.")[0]  # "....weight"
+        qtype = qk.rsplit("bitsandbytes__", 1)[1]
+        meta = json.loads(bytes(np.asarray(out.pop(qk)).astype(np.uint8).reshape(-1)).decode())
+        shape = tuple(int(s) for s in meta["shape"])
+        blocksize = int(meta.get("blocksize", 64))
+        codes = np.asarray(out.pop(base)).reshape(-1)
+        absmax = np.asarray(out.pop(base + ".absmax"))
+        quant_map = np.asarray(out.pop(base + ".quant_map"), np.float32)
+        if base + ".nested_absmax" in out:  # double-quantized absmax
+            nab = np.asarray(out.pop(base + ".nested_absmax"), np.float32)
+            nmap = np.asarray(out.pop(base + ".nested_quant_map"), np.float32)
+            nbs = int(meta.get("nested_blocksize", 256))
+            offset = float(meta.get("nested_offset", 0.0))
+            absmax = (nmap[absmax.astype(np.int64).reshape(-1)]
+                      * np.repeat(nab, nbs)[: absmax.size] + offset)
+        absmax = absmax.astype(np.float32).reshape(-1)
+        if (qtype == "nf4" and blocksize == NF4_BLOCK
+                and quant_map.size == 16
+                and np.allclose(quant_map, NF4_CODE, atol=1e-4)):
+            out[base] = {"kind": "nf4", "codes": codes, "scales": absmax,
+                         "shape": shape}
+        else:  # fp4 / exotic blocksize: dequantize at load
+            hi = codes >> 4
+            lo = codes & 0xF
+            idx = np.stack([hi, lo], axis=-1).reshape(-1)
+            pad = (-idx.size) % blocksize
+            if pad:
+                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+            vals = quant_map[idx.astype(np.int64)].reshape(-1, blocksize)
+            vals = vals * absmax[:, None]
+            n = int(np.prod(shape))
+            out[base] = vals.reshape(-1)[:n].reshape(shape).astype(np.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
