@@ -73,6 +73,9 @@ def _to_device_tree(sd: Mapping[str, np.ndarray], dtype) -> Dict[str, Any]:
     return nest({k: put(v) for k, v in sd.items()})
 
 
+QUANT_MIN_SIZE = 1 << 16  # leave small tensors in full precision
+
+
 def _to_quantized_tree(sd: Mapping[str, np.ndarray], kind: str, dtype) -> Dict[str, Any]:
     """Quantize the big matmul weights (host-side) into block formats with
     the fused-kernel tile layout; everything else loads normally. The
@@ -85,10 +88,21 @@ def _to_quantized_tree(sd: Mapping[str, np.ndarray], kind: str, dtype) -> Dict[s
     sd = transform_for_jax(sd)
     nested = nest(dict(sd))
 
+    # fp8 storage modes (reference main_entry.py unet storage dtype radio:
+    # float8-e4m3fn / float8-e5m2): weights live in HBM at 1 byte/param and
+    # upcast to the compute dtype at the matmul — halves weight HBM vs bf16
+    # with no custom kernel (XLA fuses the convert into the dot/conv).
+    fp8_dtype = {"fp8": jnp.float8_e4m3fn, "fp8_e4m3": jnp.float8_e4m3fn,
+                 "fp8_e5m2": jnp.float8_e5m2}.get(kind)
+
     def visit(path, leaf):
         arr = np.asarray(leaf)
-        if (arr.ndim == 2 and arr.size >= (1 << 16)
-                and not any(t in path for t in ("norm", "emb", "bias"))):
+        big = arr.size >= QUANT_MIN_SIZE and not any(
+            t in path for t in ("norm", "emb", "bias"))
+        if fp8_dtype is not None:
+            if big and arr.ndim >= 2:
+                return jnp.asarray(arr.astype(np.float32), dtype=fp8_dtype)
+        elif arr.ndim == 2 and big:
             q = prepare_for_kernel(quant_mod.quantize(arr, kind))
             return quant_mod.leaf_to_device(q)
         if arr.dtype in (np.float64, np.float32, np.float16):

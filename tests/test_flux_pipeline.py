@@ -65,3 +65,26 @@ def test_flux_quantized_txt2img():
     r = process_images(eng, p)
     assert r.images[0].shape == (32, 32, 3)
     assert np.isfinite(r.images[0].astype(np.float32)).all()
+
+
+def test_flux_fp8_storage_txt2img():
+    """fp8-e4m3 weight storage: big weights live as float8 in HBM and upcast
+    at the matmul (reference unet storage dtype 'float8-e4m3fn')."""
+    import jax
+
+    from forge_tpu.core import loader as loader_mod
+
+    orig = loader_mod.QUANT_MIN_SIZE
+    loader_mod.QUANT_MIN_SIZE = 0  # tiny test weights are below the real cutoff
+    try:
+        eng = load_engine(_tiny_flux_checkpoint(), dtype=jnp.float32, unet_quant="fp8_e4m3")
+    finally:
+        loader_mod.QUANT_MIN_SIZE = orig
+    eng.flux_cfg = FluxConfig(num_heads=4, axes_dim=(4, 6, 6), guidance_embed=True)
+    leaves = jax.tree.leaves(eng.loaded.unet)
+    assert any(getattr(l, "dtype", None) == jnp.float8_e4m3fn for l in leaves)
+    p = Processing(prompt="a red fox", seed=3, steps=2, width=32, height=32,
+                   cfg_scale=1.0, sampler_name="Euler", scheduler="simple")
+    r = process_images(eng, p)
+    assert r.images[0].shape == (32, 32, 3)
+    assert np.isfinite(r.images[0].astype(np.float32)).all()
