@@ -230,6 +230,9 @@ class Api:
             ("GET", "/internal/ping"): lambda q, b: {},
             ("GET", "/"): self.index,
             ("GET", "/internal/sysinfo"): self.sysinfo,
+            ("GET", "/sdapi/v1/spaces"): self.spaces_list,
+            ("POST", "/sdapi/v1/spaces/launch"): self.spaces_launch,
+            ("POST", "/sdapi/v1/spaces/terminate"): self.spaces_terminate,
         }
         self.loras: List[Dict[str, Any]] = []
         from ..pipeline.upscalers import UpscalerRegistry
@@ -249,6 +252,27 @@ class Api:
                 return self.models.load(ckpt)
             raise RuntimeError("no checkpoint loaded")
         return eng
+
+    # -- Forge Spaces (runtime/spaces.py) -----------------------------------
+
+    @property
+    def space_manager(self):
+        if not hasattr(self, "_space_manager"):
+            from ..runtime.spaces import SpaceManager
+
+            self._space_manager = SpaceManager(["extensions-builtin", "extensions"])
+        return self._space_manager
+
+    def spaces_list(self, query, body):
+        return {"spaces": self.space_manager.list()}
+
+    def spaces_launch(self, query, body):
+        name = (body or {}).get("name")
+        return {"url": self.space_manager.launch(name)}
+
+    def spaces_terminate(self, query, body):
+        self.space_manager.terminate((body or {}).get("name"))
+        return {}
 
     def controlnet_models(self, query, body):
         from ..extensions.controlnet import list_controlnet_models
