@@ -544,18 +544,32 @@ class Api:
         return {"saved": path}
 
     def interrogate(self, query, body):
-        """CLIP-ranking interrogator (reference api.py interrogateapi +
-        modules/interrogate.py). model: "clip" (deepbooru not ported)."""
-        from ..postprocessing.interrogate import get_interrogator
-
+        """Interrogator (reference api.py interrogateapi): model "clip"
+        (CLIP-ranking, modules/interrogate.py) or "deepbooru"
+        (modules/deepbooru.py tagger)."""
         img_b64 = (body or {}).get("image", "")
         if not img_b64:
             raise ApiError(404, "Image not found")
+        img = _b64_to_image(img_b64)
+        if (body or {}).get("model", "clip") == "deepbooru":
+            from ..postprocessing.deepbooru import get_deepbooru
+
+            db = get_deepbooru()
+            if not db.available:
+                return {"caption": "", "detail": "no deepbooru checkpoint "
+                        "under models/torch_deepdanbooru"}
+            try:
+                thr = float(opts.get("interrogate_deepbooru_score_threshold"))
+            except KeyError:
+                thr = 0.5
+            caption = work_queue.run_and_wait(db.tag, img, threshold=thr)
+            return {"caption": caption}
+        from ..postprocessing.interrogate import get_interrogator
+
         interrogator = get_interrogator()
         if not interrogator.available:
             return {"caption": "", "detail": "no CLIP checkpoint under "
                     "models/interrogate — install one to enable interrogation"}
-        img = _b64_to_image(img_b64)
         caption = work_queue.run_and_wait(interrogator.interrogate, img)
         return {"caption": caption}
 
