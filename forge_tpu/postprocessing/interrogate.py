@@ -4,9 +4,10 @@ Behavioral twin of the reference's InterrogateModels CLIP half
 (modules/interrogate.py:48-200): embed the image with the CLIP vision tower,
 embed candidate texts with the CLIP text tower, rank by cosine similarity,
 and assemble "medium, artist, flavor, …" from the top matches per category.
-The BLIP caption the reference prepends needs a 2 GB generative model; here
-the top "mediums" term seeds the caption instead, and the endpoint reports
-which backend produced the result.
+The BLIP caption the reference prepends (interrogate.py:184) leads the
+result when a BLIP checkpoint + vocab.txt sit under models/BLIP
+(models/blip.py greedy captioner); otherwise the top "mediums" term seeds
+the caption instead.
 
 Category word lists = ``models/interrogate/*.txt`` (same layout as the
 reference's interrogate/ directory: artists.txt, flavors.txt, mediums.txt,
@@ -134,6 +135,16 @@ class ClipInterrogator:
         cats = categories if categories is not None else load_categories()
         emb = self.image_embed(image)
         parts: List[str] = []
+        # BLIP caption leads when the generative model is installed
+        # (reference interrogate.py:184 generate_caption → caption prefix)
+        from ..models.blip import get_blip
+
+        blip = get_blip()
+        if blip.available:
+            try:
+                parts.append(blip.caption(image))
+            except Exception as e:
+                print(f"BLIP caption failed: {e}")
         for name in _CATEGORY_ORDER:
             terms = cats.get(name)
             if not terms:
