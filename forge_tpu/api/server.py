@@ -622,6 +622,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def _dispatch(self, method: str):
+        import time as _time
+
+        from ..runtime.logging import log_event
+
         parsed = urlparse(self.path)
         handler = self.api.routes.get((method, parsed.path))
         if handler is None:
@@ -636,8 +640,12 @@ class _Handler(BaseHTTPRequestHandler):
                 except json.JSONDecodeError:
                     self._reply(422, {"detail": "invalid JSON"})
                     return
+        t0 = _time.time()
         try:
             result = handler(parse_qs(parsed.query), body)
+            if parsed.path.startswith("/sdapi"):
+                log_event("api_request", method=method, path=parsed.path,
+                          status=200, duration_s=round(_time.time() - t0, 4))
             if isinstance(result, _RawResponse):
                 data = result.body.encode()
                 self.send_response(200)
@@ -657,6 +665,8 @@ class _Handler(BaseHTTPRequestHandler):
             import traceback
 
             traceback.print_exc()
+            log_event("api_error", method=method, path=parsed.path,
+                      error=str(e), duration_s=round(_time.time() - t0, 4))
             self._reply(500, {"detail": str(e)})
 
     def do_GET(self):

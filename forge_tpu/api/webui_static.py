@@ -100,6 +100,7 @@ details>summary{cursor:pointer;color:var(--dim)}
   <button data-tab="img2img">img2img</button>
   <button data-tab="extras">Extras</button>
   <button data-tab="pnginfo">PNG Info</button>
+  <button data-tab="spaces">Spaces</button>
   <button data-tab="settings">Settings</button>
 </nav>
 <main>
@@ -145,6 +146,16 @@ details>summary{cursor:pointer;color:var(--dim)}
       </fieldset>
     </div>
   </div>
+</div>
+
+<!-- ===================== Spaces ========================================= -->
+<div class="tab" id="tab-spaces">
+  <fieldset><legend>Forge Spaces</legend>
+    <div id="spaces-list" class="kv"></div>
+    <div class="small" id="spaces-empty" style="display:none">
+      no spaces installed — drop a folder with space_meta.json + forge_app.py
+      under extensions/</div>
+  </fieldset>
 </div>
 
 <!-- ===================== Settings ======================================= -->
@@ -515,6 +526,27 @@ $("#pnginfo-send").onclick=()=>{
   if(p["Schedule type"])$("#txt2img-scheduler").value=String(p["Schedule type"]).toLowerCase();
   $$("nav.tabs button")[0].click();
 };
+
+/* ------- spaces ------- */
+async function loadSpaces(){
+  try{
+    const r=await api("/sdapi/v1/spaces");
+    const list=r.spaces||[];
+    $("#spaces-empty").style.display=list.length?"none":"block";
+    $("#spaces-list").innerHTML=list.map(s=>{
+      const state=s.running?`running — <a href="${s.url}" target="_blank">${s.url}</a>`
+        :(s.installed?"ready":"not installed");
+      const btn=s.running?`<button data-space-stop="${s.name}">Terminate</button>`
+        :(s.installed?`<button data-space-launch="${s.name}" class="primary">Launch</button>`:"");
+      return `<label>${s.title}</label><span class="small">${state} ${btn}</span>`;
+    }).join("");
+    $$("#spaces-list [data-space-launch]").forEach(b=>b.onclick=async()=>{
+      await api("/sdapi/v1/spaces/launch",{name:b.dataset.spaceLaunch});loadSpaces();});
+    $$("#spaces-list [data-space-stop]").forEach(b=>b.onclick=async()=>{
+      await api("/sdapi/v1/spaces/terminate",{name:b.dataset.spaceStop});loadSpaces();});
+  }catch(e){}
+}
+loadSpaces();
 
 /* ------- settings ------- */
 async function loadSettings(){

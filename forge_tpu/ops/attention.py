@@ -59,7 +59,7 @@ def attention(
     # in HBM — in-model that traffic loses to the blocked kernel even at
     # L=1024 where standalone microbenches suggest otherwise. Flash for all
     # non-trivial lengths; einsum only for tiny sequences and masked calls.
-    if impl == "flash" and mask is None and lq >= 512:
+    if impl == "flash" and mask is None and lq >= 512 and lk >= 512:
         out = flash_attention(qh, kh, vh, scale=scale)
     else:
         out = xla_attention(qh, kh, vh, scale=scale, mask=mask)

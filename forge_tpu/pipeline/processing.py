@@ -695,6 +695,12 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             print(f"grid save failed: {e}")
 
     timings["total"] = time.time() - t0
+    from ..runtime.logging import log_event
+
+    log_event("generation", sampler=p.sampler_name, steps=p.steps,
+              width=p.width, height=p.height, batch_size=p.batch_size,
+              n_iter=p.n_iter, seed=p.seed, is_img2img=is_img2img,
+              **{f"t_{k}": round(v, 4) for k, v in timings.items()})
     processed = Processed(
         images=images,
         seeds=p.all_seeds,

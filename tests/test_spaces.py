@@ -69,3 +69,25 @@ def test_uninstalled_space_reports_and_refuses(tmp_path):
 def test_find_free_port():
     p = find_free_port(start_port=7911)
     assert p >= 7911
+
+
+def test_structured_logging(tmp_path):
+    """runtime/logging.py: JSON-lines events, rotation, never-raise."""
+    import json as _json
+
+    from forge_tpu.runtime import logging as flog
+
+    path = tmp_path / "ev.jsonl"
+    flog.configure(str(path))
+    flog.log_event("generation", sampler="Euler a", duration_s=1.25)
+    flog.log_event("api_request", path="/sdapi/v1/txt2img", status=200)
+    lines = [_json.loads(ln) for ln in path.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["event"] == "generation" and lines[0]["sampler"] == "Euler a"
+    assert "ts" in lines[1]
+    # rotation
+    flog.configure(str(path), max_bytes=1)
+    flog.log_event("x")
+    flog.log_event("y")
+    assert (tmp_path / "ev.jsonl.1").exists()
+    flog.configure("logs/events.jsonl")  # restore default for other tests
