@@ -927,9 +927,26 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                               rcond, runcond, skip_uncond=(p.cfg_scale == 1.0),
                               kind="refiner")
         engine_out = refiner
-    elif p.hook_phases:
-        latent = _run_phased(engine, p, x, sigmas, step_noise, cond, uncond,
-                             n_steps, unet_params)
+    elif p.hook_phases or _interrupt_poll_steps():
+        phases = p.hook_phases
+        if not phases:
+            # per-chunk interruptibility: split the compiled loop at every
+            # poll-step boundary so interrupt/skip take effect mid-sampling
+            # (the scan-world answer to the reference's per-step
+            # InterruptedException, sd_samplers_common.py:274-290; off by
+            # default — segment seams reset multistep sampler history)
+            poll = _interrupt_poll_steps()
+            phases = [(min((k + poll) / n_steps, 1.0), {})
+                      for k in range(0, n_steps, poll)]
+            p.hook_phases = phases
+            try:
+                latent = _run_phased(engine, p, x, sigmas, step_noise, cond,
+                                     uncond, n_steps, unet_params)
+            finally:
+                p.hook_phases = None
+        else:
+            latent = _run_phased(engine, p, x, sigmas, step_noise, cond, uncond,
+                                 n_steps, unet_params)
         engine_out = engine
     else:
         latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
@@ -962,6 +979,15 @@ def _merge_hooks(base: Optional[Dict[str, Any]], extra: Dict[str, Any]) -> Dict[
     return merged
 
 
+def _interrupt_poll_steps() -> int:
+    from ..runtime.options import opts
+
+    try:
+        return max(int(opts.get("interrupt_poll_steps") or 0), 0)
+    except KeyError:
+        return 0
+
+
 def _run_phased(engine, p, x, sigmas, step_noise, cond, uncond, n_steps, unet_params):
     """Run the denoise loop as consecutive compiled segments with different
     hook manifests (Processing.hook_phases) — the scan-world expression of
@@ -991,6 +1017,10 @@ def _run_phased(engine, p, x, sigmas, step_noise, cond, uncond, n_steps, unet_pa
                 skip_uncond=(p.cfg_scale == 1.0),
                 unet_params=unet_params)
             k_prev = k_end
+            from ..runtime.state import state as job_state
+
+            if job_state.interrupted:
+                break  # partial latent decodes, matching reference interrupt
     finally:
         p.unet_hooks = base_hooks
     return latent

@@ -313,6 +313,9 @@ _DEFAULTS = {
                           ["Ignore", "Apply", "Discard", "Apply if any"]),
     # -- live previews
     "show_progressbar": _O(True, "Show progress bar", "live_previews"),
+    "interrupt_poll_steps": _O(0, "Split the compiled loop every N steps so "
+                               "interrupt takes effect mid-sampling (0 = off; "
+                               "seams reset multistep history)", "live_previews"),
     "live_previews_enable": _O(True, "Live previews", "live_previews"),
     "live_previews_image_format": _O("png", "Live preview format", "live_previews",
                                      ["jpeg", "png", "webp"]),

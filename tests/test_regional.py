@@ -89,3 +89,24 @@ def test_regional_mask_spec(engine):
     assert out.shape == (32, 32, 3)
     base = process_images(engine, _p()).images[0]
     assert not np.array_equal(out, base)
+
+
+def test_interrupt_poll_chunks(engine):
+    """interrupt_poll_steps splits the loop into compiled segments; an
+    interrupt raised by a preview callback between segments stops sampling
+    early (single-step sampler => chunking is seam-free for Euler)."""
+    from forge_tpu.runtime.options import opts
+    from forge_tpu.runtime.state import state
+
+    base = process_images(engine, _p(steps=4, sampler_name="Euler")).images[0]
+    with opts.override({"interrupt_poll_steps": 2}):
+        out = process_images(engine, _p(steps=4, sampler_name="Euler")).images[0]
+    assert np.array_equal(out, base)  # chunked == unchunked for 1-step samplers
+    # interrupting before the run yields an immediate stop between chunks
+    with opts.override({"interrupt_poll_steps": 2}):
+        state.interrupted = True
+        try:
+            early = process_images(engine, _p(steps=4, sampler_name="Euler")).images[0]
+        finally:
+            state.interrupted = False
+    assert early.shape == base.shape
