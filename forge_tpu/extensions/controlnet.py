@@ -75,6 +75,12 @@ def load_control_model(path: str):
     if any(k.startswith("control_model.") for k in sd):
         sd = {k[len("control_model."):]: v for k, v in sd.items()
               if k.startswith("control_model.")}
+    if "lora_controlnet" in sd:
+        # ControlLora: encoder weights come from the live UNet + low-rank
+        # deltas; assembly is deferred until an engine is present
+        kind = "control_lora"
+        _MODEL_CACHE[path] = (kind, sd, None, digest)
+        return _MODEL_CACHE[path]
     if any(k.startswith("input_hint_block") for k in sd):
         kind = "controlnet"
         params = nest(transform_for_jax(sd))
@@ -87,6 +93,59 @@ def load_control_model(path: str):
         raise ValueError(f"unrecognized control model format: {path}")
     _MODEL_CACHE[path] = (kind, params, cfg, digest)
     return _MODEL_CACHE[path]
+
+
+_CL_CACHE: Dict[Any, Any] = {}
+
+
+def assemble_control_lora(engine, sd: Mapping[str, Any], model_digest: str):
+    """ControlLora → full cldm params: the encoder trunk is copied from the
+    live UNet, control-specific checkpoint weights overlay it, and low-rank
+    `.up`/`.down` deltas add onto the shared weights — the functional form of
+    the reference's ControlLora.pre_run + ControlLoraOps lazy weight merge
+    (backend/patcher/controlnet.py:360-474). → (params_tree, cfg)."""
+    key = (id(engine.loaded.unet), model_digest)
+    if key in _CL_CACHE:
+        return _CL_CACHE[key]
+    from ..core.tree import flatten
+    from ..ops.quant import dequantize, is_quantized
+
+    out: Dict[str, Any] = {}
+    for k, v in flatten(engine.loaded.unet).items():
+        if k.split(".")[0] in ("input_blocks", "middle_block", "time_embed",
+                               "label_emb"):
+            out[k] = v
+    pairs: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        if k == "lora_controlnet":
+            continue
+        if k.endswith(".up") or k.endswith(".down"):
+            base, which = k.rsplit(".", 1)
+            pairs.setdefault(base, {})[which] = np.asarray(v, np.float32)
+        else:
+            arr = np.asarray(v)
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+            out[k] = jnp.asarray(arr)
+    for base, ud in pairs.items():
+        wkey = base + ".weight"
+        w = out.get(wkey)
+        if w is None or "up" not in ud or "down" not in ud:
+            continue
+        if is_quantized(w):
+            w = dequantize(w, jnp.float32)
+        warr = np.asarray(w, np.float32)
+        up, down = ud["up"], ud["down"]
+        delta = up.reshape(up.shape[0], -1) @ down.reshape(down.shape[0], -1)
+        if warr.ndim == 4:  # ours HWIO; delta is torch-flat [O, I·kh·kw]
+            kh, kw, ci, co = warr.shape
+            delta = delta.reshape(co, ci, kh, kw).transpose(2, 3, 1, 0)
+        else:
+            delta = delta.reshape(warr.shape)
+        out[wkey] = jnp.asarray(warr + delta, jnp.asarray(w).dtype)
+    params = nest(out)
+    _CL_CACHE[key] = (params, engine.unet_cfg)
+    return _CL_CACHE[key]
 
 
 def _cn_config(sd: Mapping[str, np.ndarray]) -> UNetConfig:
@@ -159,30 +218,44 @@ def build_unit_state(unit: Mapping[str, Any], width: int, height: int):
     ).hexdigest()[:16]
 
     common = dict(
-        params=params,
         hint=hint,
         strength=float(unit.get("weight", 1.0)),
         start_percent=float(unit.get("guidance_start", 0.0)),
         end_percent=float(unit.get("guidance_end", 1.0)),
         block_weights=unit.get("advanced_weighting"),
         digest=digest,
-        cfg=cfg,
     )
+    if kind == "control_lora":
+        # needs the live UNet: return a deferred builder (runs once per
+        # generation, after the engine is known)
+        def build(engine, p, cond, uncond, _sd=params, _common=common):
+            cl_params, cl_cfg = assemble_control_lora(engine, _sd, model_digest)
+            state = ControlNetState(params=cl_params, cfg=cl_cfg, **_common)
+            p.controlnets = list(p.controlnets or []) + [state]
+
+        return build
     if kind == "t2i_adapter":
-        return T2IAdapterState(**common)
-    return ControlNetState(**common)
+        return T2IAdapterState(params=params, cfg=cfg, **common)
+    return ControlNetState(params=params, cfg=cfg, **common)
 
 
 def attach_units(p, units) -> int:
-    """Build states for every enabled unit and append to p.controlnets."""
+    """Build states for every enabled unit and append to p.controlnets
+    (ControlLora units attach via deferred builders — they need the engine)."""
     states = []
+    n = 0
     for unit in units or ():
         st = build_unit_state(unit, p.width, p.height)
-        if st is not None:
+        if st is None:
+            continue
+        n += 1
+        if callable(st):
+            p.deferred_hooks = list(p.deferred_hooks or []) + [st]
+        else:
             states.append(st)
     if states:
         p.controlnets = list(p.controlnets or []) + states
-    return len(states)
+    return n
 
 
 class ControlNetScript(Script):

@@ -202,3 +202,66 @@ def test_preprocessor_registry_contract():
         assert 0.0 <= out.min() and out.max() <= 1.0001, name
     edges = get_preprocessor("canny")(img, 64)
     assert 0.001 < edges.mean() < 0.3  # square outline found, not everything
+
+
+def test_control_lora_assembly_and_e2e(tmp_path, engine):
+    """ControlLora: encoder trunk from the live UNet + up/down deltas +
+    control-specific weights; deferred attach produces a conditioned image."""
+    from forge_tpu.core.save import save_safetensors
+    from forge_tpu.core.tree import flatten
+    from forge_tpu.extensions import controlnet as cn_ext
+
+    r = np.random.default_rng(5)
+    # control-specific weights: hint ladder + zero convs + middle_block_out
+    base_cldm = make_cldm_sd()
+    sd = {k: v for k, v in base_cldm.items()
+          if k.startswith(("zero_convs", "middle_block_out", "input_hint_block"))}
+    sd["lora_controlnet"] = np.zeros((), np.float32)  # marker key
+    # one low-rank delta on a shared UNet weight (dense conv in block 0)
+    flat_unet = flatten(engine.loaded.unet)
+    wkey = next(k for k in flat_unet
+                if k.startswith("input_blocks.1") and k.endswith("in_layers.2.weight"))
+    hwio = np.asarray(flat_unet[wkey])
+    co, ci, kh, kw = hwio.shape[3], hwio.shape[2], hwio.shape[0], hwio.shape[1]
+    rank = 2
+    sd[wkey[: -len(".weight")] + ".up"] = (
+        r.standard_normal((co, rank, 1, 1)) * 0.2).astype(np.float32)
+    sd[wkey[: -len(".weight")] + ".down"] = (
+        r.standard_normal((rank, ci, kh, kw)) * 0.2).astype(np.float32)
+
+    path = tmp_path / "tiny_control_lora.safetensors"
+    save_safetensors(sd, str(path))
+    cn_ext.set_model_dirs([str(tmp_path)])
+    cn_ext._MODEL_CACHE.clear()
+    cn_ext._CL_CACHE.clear()
+    try:
+        kind, raw, cfg, digest = cn_ext.load_control_model(str(path))
+        assert kind == "control_lora"
+        params, ucfg = cn_ext.assemble_control_lora(engine, raw, digest)
+        # delta applied: assembled weight differs from the UNet's
+        merged = flatten(params)[wkey]
+        assert merged.shape == hwio.shape
+        assert not np.allclose(np.asarray(merged), hwio)
+        # trunk copied: an untouched shared weight is identical
+        other = next(k for k in flat_unet
+                     if k.startswith("input_blocks.2") and k.endswith("weight"))
+        assert np.allclose(np.asarray(flatten(params)[other]),
+                           np.asarray(flat_unet[other]))
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[10:20, 10:20] = 255
+        unit = {"enabled": True, "module": "none", "model": "tiny_control_lora",
+                "image": img, "weight": 1.2}
+        p = Processing(prompt="cat", seed=4, steps=3, width=32, height=32,
+                       sampler_name="Euler")
+        n = cn_ext.attach_units(p, [unit])
+        assert n == 1 and p.deferred_hooks and not p.controlnets
+        out = process_images(engine, p)
+        assert p.controlnets  # deferred builder ran and attached the state
+        base = process_images(engine, Processing(
+            prompt="cat", seed=4, steps=3, width=32, height=32, sampler_name="Euler"))
+        assert not np.array_equal(out.images[0], base.images[0])
+    finally:
+        cn_ext.set_model_dirs(["models/ControlNet", "models/controlnet"])
+        cn_ext._MODEL_CACHE.clear()
+        cn_ext._CL_CACHE.clear()
