@@ -66,18 +66,22 @@ def main():
             "sdxl_steps_per_s": round(30 / xl_p50, 2),
             "sdxl_compile_s": round(xl_compile, 1),
         }
-        try:
-            # batched serving throughput (img/s/chip at batch 4) — the
-            # production-serving number; per-step overheads amortize
-            pxl4 = Processing(prompt=prompt, negative_prompt=neg, seed=1,
-                              steps=30, width=1024, height=1024, cfg_scale=7.0,
-                              sampler_name="DPM++ 2M", scheduler="karras",
-                              batch_size=4)
-            b4_p50, b4_compile, _ = _measure(engxl, pxl4, runs=2)
-            detail_xl["sdxl_batch4_images_per_s"] = round(4.0 / b4_p50, 4)
-            detail_xl["sdxl_batch4_p50_s"] = round(b4_p50, 4)
-        except Exception as e:  # noqa: BLE001
-            detail_xl["sdxl_batch4_error"] = str(e)[:120]
+        # batched serving throughput (img/s/chip) — the production-serving
+        # number; per-step overheads amortize. Drop the single-image
+        # executable first (two resident SDXL executables exhaust HBM).
+        for bs in (4, 2):
+            try:
+                engxl._jit_cache.clear()
+                pxlb = Processing(prompt=prompt, negative_prompt=neg, seed=1,
+                                  steps=30, width=1024, height=1024, cfg_scale=7.0,
+                                  sampler_name="DPM++ 2M", scheduler="karras",
+                                  batch_size=bs)
+                bb_p50, _bb_compile, _ = _measure(engxl, pxlb, runs=2)
+                detail_xl[f"sdxl_batch{bs}_images_per_s"] = round(bs / bb_p50, 4)
+                detail_xl[f"sdxl_batch{bs}_p50_s"] = round(bb_p50, 4)
+                break
+            except Exception as e:  # noqa: BLE001
+                detail_xl[f"sdxl_batch{bs}_error"] = str(e)[:120]
         del engxl
     except Exception as e:  # noqa: BLE001 — SDXL bench is best-effort
         detail_xl = {"sdxl_error": str(e)[:200]}
