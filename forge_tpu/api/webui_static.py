@@ -227,6 +227,9 @@ function genPanel(mode){
   <fieldset><legend>Prompt</legend>
     <textarea id="${m}-prompt" placeholder="prompt — supports (emphasis:1.2), [a:b:0.5] editing, AND, <lora:name:w>"></textarea>
     <textarea id="${m}-negative" placeholder="negative prompt" style="min-height:40px"></textarea>
+    <details><summary>Extra networks</summary>
+      <div class="row small" id="${m}-networks">no LoRAs / embeddings found</div>
+    </details>
   </fieldset>
   ${img2img}
   <fieldset><legend>Sampling</legend>
@@ -332,6 +335,31 @@ async function loadLists(){
 }
 loadLists();
 $("#refresh-models").onclick=async()=>{await api("/sdapi/v1/refresh-checkpoints",{});loadLists();};
+
+/* ------- extra-networks browser (lora/embedding chips → prompt) ------- */
+async function loadNetworks(){
+  let chips=[];
+  try{
+    const loras=await api("/sdapi/v1/loras");
+    chips=chips.concat((loras||[]).map(l=>({label:l.name,ins:`<lora:${l.name}:1>`})));
+  }catch(e){}
+  try{
+    const emb=await api("/sdapi/v1/embeddings");
+    chips=chips.concat(Object.keys((emb&&emb.loaded)||{}).map(n=>({label:n,ins:n})));
+  }catch(e){}
+  for(const m of ["txt2img","img2img"]){
+    const box=$(`#${m}-networks`);
+    if(!box)continue;
+    if(!chips.length){box.textContent="no LoRAs / embeddings found";continue;}
+    box.innerHTML=chips.map((c,i)=>
+      `<button data-net="${i}" title="insert into prompt">${c.label}</button>`).join(" ");
+    $$(`#${m}-networks [data-net]`).forEach(b=>b.onclick=()=>{
+      const t=$(`#${m}-prompt`);
+      t.value=(t.value?t.value+", ":"")+chips[+b.dataset.net].ins;
+    });
+  }
+}
+loadNetworks();
 $("#sd-model").onchange=async()=>{
   $("#model-status").textContent="loading…";
   try{await api("/sdapi/v1/options",{sd_model_checkpoint:$("#sd-model").value});

@@ -172,7 +172,19 @@ class FaceRestorer:
 _restorer: Optional[FaceRestorer] = None
 
 
-def get_face_restorer() -> FaceRestorer:
+def get_face_restorer():
+    """Dispatch by the face_restoration_model option (reference
+    modules/face_restoration_utils + shared_options: CodeFormer | GFPGAN)."""
+    from ..runtime.options import opts
+
+    try:
+        model = str(opts.get("face_restoration_model"))
+    except KeyError:
+        model = "CodeFormer"
+    if model.lower() == "gfpgan":
+        from .gfpgan import get_gfpgan
+
+        return get_gfpgan()
     global _restorer
     if _restorer is None:
         _restorer = FaceRestorer()
