@@ -155,3 +155,7 @@ try:  # noqa: SIM105
     from . import openpose  # noqa: F401
 except Exception:  # pragma: no cover
     pass
+try:  # noqa: SIM105
+    from . import hed  # noqa: F401
+except Exception:  # pragma: no cover
+    pass

@@ -163,3 +163,38 @@ def test_dpt_apply_shapes():
     out = dpt_apply(p, img, heads=2)
     assert out.shape == (1, 64, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# HED soft edge
+
+
+def test_hed_apply_matches_reference_structure():
+    """Five side maps at strides 1/2/4/8/16; sigmoid-averaged edge in [0,1]."""
+    from forge_tpu.preprocessors.hed import hed_apply
+
+    rng = np.random.default_rng(3)
+
+    def conv(o, i):
+        return {"weight": jnp.asarray((rng.standard_normal((3, 3, i, o)) * 0.1
+                                       / np.sqrt(9 * i)).astype(np.float32)),
+                "bias": jnp.zeros(o, jnp.float32)}
+
+    def proj(i):
+        return {"weight": jnp.asarray((rng.standard_normal((1, 1, i, 1)) * 0.1).astype(np.float32)),
+                "bias": jnp.zeros(1, jnp.float32)}
+
+    chans = {1: (3, 8), 2: (8, 8), 3: (8, 8), 4: (8, 8), 5: (8, 8)}
+    layers = {1: 2, 2: 2, 3: 3, 4: 3, 5: 3}
+    p = {"norm": jnp.zeros((1, 3, 1, 1), jnp.float32)}
+    for b, (ci, co) in chans.items():
+        blk = {"convs": {}, "projection": proj(co)}
+        for j in range(layers[b]):
+            blk["convs"][str(j)] = conv(co, ci if j == 0 else co)
+        p[f"block{b}"] = blk
+
+    x = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+    outs = hed_apply(p, x)
+    assert [o.shape for o in outs] == [(1, 64, 64, 1), (1, 32, 32, 1),
+                                       (1, 16, 16, 1), (1, 8, 8, 1), (1, 4, 4, 1)]
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
