@@ -38,10 +38,11 @@ def unet_activation_bytes(batch: int, height: int, width: int,
     return int(scaler * batch * height * width * dtype_size * 16384 / 64)
 
 
-def vae_decode_bytes(latent_h: int, latent_w: int, dtype_size: int = 2) -> int:
+def vae_decode_bytes(latent_h: int, latent_w: int, dtype_size: int = 2,
+                     batch: int = 1) -> int:
     """Reference VAE estimate: 2178·H·W·64·dtype per latent pixel
-    (patcher/vae.py:65-66)."""
-    return int(2178 * latent_h * latent_w * 64 * dtype_size / 2)
+    (patcher/vae.py:65-66), scaled by batch."""
+    return int(batch * 2178 * latent_h * latent_w * 64 * dtype_size / 2)
 
 
 @dataclasses.dataclass
@@ -65,7 +66,7 @@ def plan_generation(batch: int, height: int, width: int,
     while chunk > 1 and unet_activation_bytes(chunk * 2, height, width) > budget:
         chunk = (chunk + 1) // 2
 
-    tiled = vae_decode_bytes(height // 8, width // 8) > budget
+    tiled = vae_decode_bytes(height // 8, width // 8, batch=chunk) > budget
     note = ""
     if chunk < batch:
         note += f"batch chunked {batch}->{chunk}; "
