@@ -33,8 +33,13 @@ def device_memory() -> dict:
 def unet_activation_bytes(batch: int, height: int, width: int,
                           dtype_size: int = 2, flash: bool = True) -> int:
     """Reference activation model: scaler·B·H·W·dtype·16384 with scaler 1.28
-    for memory-efficient attention (k_model.py:47-57). H/W in pixels."""
-    scaler = 1.28 if flash else 1.65
+    for memory-efficient attention (k_model.py:47-57). H/W in pixels.
+
+    Calibrated up from the reference's 1.28: our cross-attention runs as an
+    einsum (materialized logits) and XLA keeps more fusion temporaries live —
+    CFG batch 8 at 1024² measured-OOMs on a 16 GB chip where the 1.28 model
+    predicted a fit, so oversized batches must chunk earlier."""
+    scaler = 2.2 if flash else 2.6
     return int(scaler * batch * height * width * dtype_size * 16384 / 64)
 
 
