@@ -53,9 +53,23 @@ def _unet_param_spec(path: str, leaf) -> P:
     """
     if getattr(leaf, "ndim", 0) != 2:
         return P()  # convs/norms/embeddings replicated
+    # SD UNet transformer blocks
     if any(s in path for s in (".to_q.", ".to_k.", ".to_v.", ".ff.net.0.proj.")):
         return P("tp", None)
     if any(s in path for s in (".to_out.0.", ".ff.net.2.")):
+        return P(None, "tp")
+    # Flux double/single stream blocks (fused qkv / linear1 shard the out
+    # axis; GSPMD reshards across the q|k|v|mlp split boundaries as needed)
+    if any(s in path for s in (".img_attn.qkv.", ".txt_attn.qkv.",
+                               ".img_mlp.0.", ".txt_mlp.0.", ".linear1.")):
+        return P("tp", None)
+    if any(s in path for s in (".img_attn.proj.", ".txt_attn.proj.",
+                               ".img_mlp.2.", ".txt_mlp.2.", ".linear2.")):
+        return P(None, "tp")
+    # SD3 MMDiT joint blocks
+    if any(s in path for s in (".attn.qkv.", ".attn2.qkv.", ".mlp.fc1.")):
+        return P("tp", None)
+    if any(s in path for s in (".attn.proj.", ".attn2.proj.", ".mlp.fc2.")):
         return P(None, "tp")
     return P()
 

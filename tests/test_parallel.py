@@ -116,3 +116,44 @@ def test_dp_batch_sharding_layout():
     # each device holds exactly one batch row
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(1, 4, 4, 4)}
+
+
+def test_tp_flux_matches_replicated():
+    """tp-sharded Flux (the model family that actually needs tensor
+    parallelism at 12B) ≡ replicated, through the full pipeline."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_flux_pipeline import _tiny_flux_checkpoint
+
+    import jax.numpy as jnp
+
+    from forge_tpu.models.flux import FluxConfig
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+
+    def make():
+        eng = load_engine(_tiny_flux_checkpoint(), dtype=jnp.float32)
+        eng.flux_cfg = FluxConfig(num_heads=4, axes_dim=(4, 6, 6), guidance_embed=True)
+        return eng
+
+    def gen(eng):
+        return process_images(eng, Processing(
+            prompt="a red fox", seed=5, steps=2, width=32, height=32,
+            cfg_scale=1.0, sampler_name="Euler", scheduler="simple"))
+
+    ref = gen(make())
+    eng = make()
+    eng.attach_mesh(mesh_mod.make_mesh(dp=2, tp=4), tensor_parallel=True)
+    got = gen(eng)
+    for a, b in zip(ref.images, got.images):
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, f"tp-sharded flux diverged: max diff {diff.max()}"
+
+
+def test_tp_flux_param_specs():
+    w = np.zeros((64, 32), np.float32)
+    assert mesh_mod._unet_param_spec("double_blocks.0.img_attn.qkv.weight", w) == P("tp", None)
+    assert mesh_mod._unet_param_spec("single_blocks.3.linear2.weight", w) == P(None, "tp")
+    assert mesh_mod._unet_param_spec("joint_blocks.1.x_block.attn.qkv.weight", w) == P("tp", None)
+    assert mesh_mod._unet_param_spec("joint_blocks.1.x_block.mlp.fc2.weight", w) == P(None, "tp")
