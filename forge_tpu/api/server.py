@@ -225,7 +225,7 @@ class Api:
             ("GET", "/controlnet/version"): lambda q, b: {"version": 2},
             ("POST", "/sdapi/v1/interrogate"): self.interrogate,
             ("POST", "/sdapi/v1/server-stop"): self.server_stop,
-            ("POST", "/sdapi/v1/server-restart"): self.server_stop,
+            ("POST", "/sdapi/v1/server-restart"): self.server_restart,
             ("POST", "/sdapi/v1/server-kill"): self.server_stop,
             ("GET", "/internal/ping"): lambda q, b: {},
             ("GET", "/"): self.index,
@@ -579,6 +579,15 @@ class Api:
         threading.Thread(target=self._shutdown, daemon=True).start()
         return {}
 
+    def server_restart(self, query, body):
+        """Restart-in-place (reference webui.py:147-176 server restart loop):
+        shut the server down with restart_requested set — the webui serve
+        loop re-execs the process."""
+        server = getattr(self, "_server", None)
+        if server is not None:
+            server.restart_requested = True
+        return self.server_stop(query, body)
+
     def _shutdown(self):
         import time as _t
 
@@ -626,6 +635,13 @@ class _Handler(BaseHTTPRequestHandler):
 
         from ..runtime.logging import log_event
 
+        if getattr(self, "auth", None):
+            if self.headers.get("Authorization") not in self.auth:
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", 'Basic realm="forge-tpu"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
         parsed = urlparse(self.path)
         handler = self.api.routes.get((method, parsed.path))
         if handler is None:
@@ -676,11 +692,21 @@ class _Handler(BaseHTTPRequestHandler):
         self._dispatch("POST")
 
 
-def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
+def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 7860,
+                  api_auth: Optional[str] = None) -> ThreadingHTTPServer:
     api = Api(models)
-    handler = type("BoundHandler", (_Handler,), {"api": api})
+    # --api-auth "user:pass[,user2:pass2]" HTTP basic auth (reference
+    # api/api.py:276-300 auth + cmd_args --api-auth)
+    creds = None
+    if api_auth:
+        import base64 as _b64
+
+        creds = {"Basic " + _b64.b64encode(pair.strip().encode()).decode()
+                 for pair in api_auth.split(",") if pair.strip()}
+    handler = type("BoundHandler", (_Handler,), {"api": api, "auth": creds})
     server = ThreadingHTTPServer((host, port), handler)
     server.api = api
+    server.restart_requested = False
     api._server = server
     from ..runtime.scripts import fire
 
@@ -688,7 +714,17 @@ def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 786
     return server
 
 
-def serve(models: ModelManager, host: str = "127.0.0.1", port: int = 7860):
-    server = create_server(models, host, port)
+def serve(models: ModelManager, host: str = "127.0.0.1", port: int = 7860,
+          api_auth: Optional[str] = None):
+    """Serve until stopped; on /sdapi/v1/server-restart, re-exec the process
+    in place (the reference's restart loop, webui.py:147-176)."""
+    server = create_server(models, host, port, api_auth=api_auth)
     print(f"forge-tpu API listening on http://{host}:{port}")
     server.serve_forever()
+    if getattr(server, "restart_requested", False):
+        import os
+        import sys as _sys
+
+        server.server_close()
+        print("restarting in place ...")
+        os.execv(_sys.executable, [_sys.executable] + _sys.argv)

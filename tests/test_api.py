@@ -113,3 +113,32 @@ def test_options_roundtrip(server):
     _post("/sdapi/v1/options", {"CLIP_stop_at_last_layers": 2})
     assert _get("/sdapi/v1/options")["CLIP_stop_at_last_layers"] == 2
     _post("/sdapi/v1/options", {"CLIP_stop_at_last_layers": 1})
+
+
+def test_api_basic_auth():
+    """--api-auth: requests without credentials get 401, with them 200
+    (reference api.py:276-300 auth + cmd_args --api-auth)."""
+    import base64
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from forge_tpu.api.server import create_server
+    from forge_tpu.runtime.models import ModelManager
+
+    mm = ModelManager()
+    mm.set_engine(make_tiny_engine())
+    srv = create_server(mm, "127.0.0.1", 7897, api_auth="alice:secret")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        try:
+            urllib.request.urlopen("http://127.0.0.1:7897/sdapi/v1/samplers", timeout=10)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        req = urllib.request.Request("http://127.0.0.1:7897/sdapi/v1/samplers")
+        req.add_header("Authorization",
+                       "Basic " + base64.b64encode(b"alice:secret").decode())
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+    finally:
+        srv.shutdown()

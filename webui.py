@@ -32,6 +32,8 @@ def parse_args(argv=None):
     ap.add_argument("--gpu-weights-mb", type=int, default=0,
                     help="HBM budget for resident weights in MB (0 = auto); "
                          "the reference's 'GPU Weights' slider")
+    ap.add_argument("--api-auth", default=None,
+                    help='HTTP basic auth for the API: "user:pass[,user2:pass2]"')
     ap.add_argument("--config", default="config.json", help="options persistence file")
     return ap.parse_args(argv)
 
@@ -79,7 +81,7 @@ def main(argv=None):
         opts.set("sd_model_checkpoint", first, run_onchange=False)
 
     host = "0.0.0.0" if args.listen else "127.0.0.1"
-    serve(models, host, args.port)
+    serve(models, host, args.port, api_auth=args.api_auth)
 
 
 if __name__ == "__main__":
