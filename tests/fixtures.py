@@ -157,12 +157,16 @@ def make_vae_sd(prefix="first_stage_model.", seed=2):
     attn(d + "mid.attn_1", c2)
     res(d + "mid.block_2", c2, c2)
     res(d + "up.3.block.0", c2, c2)
+    res(d + "up.3.block.1", c2, c2)
     add_conv(d + "up.3.upsample.conv", c2, c2)
     res(d + "up.2.block.0", c2, c2)
+    res(d + "up.2.block.1", c2, c2)
     add_conv(d + "up.2.upsample.conv", c2, c2)
-    res(d + "up.1.block.0", c2, c1)
-    add_conv(d + "up.1.upsample.conv", c1, c1)
-    res(d + "up.0.block.0", c1, c1)
+    res(d + "up.1.block.0", c2, c2)
+    res(d + "up.1.block.1", c2, c2)
+    add_conv(d + "up.1.upsample.conv", c2, c2)
+    res(d + "up.0.block.0", c2, c1)
+    res(d + "up.0.block.1", c1, c1)
     add_norm(d + "norm_out", c1)
     add_conv(d + "conv_out", 3, c1)
 

@@ -1,0 +1,87 @@
+"""Regenerate tests/golden/*.npz from the REFERENCE torch implementation.
+
+Runs only where /root/reference is mounted: instantiates the reference's
+IntegratedUNet2DConditionModel / IntegratedAutoencoderKL on CPU torch with
+light stubs for their unused heavyweight deps, strict-loads the SAME tiny
+synthetic state dicts the test suite uses (tests/fixtures.py — strict load
+doubles as a key-layout compatibility proof), and records forward outputs.
+tests/test_golden_parity.py then gates our JAX implementations at
+PSNR ≥ 40 dB against these (measured: UNet 108 dB, VAE 123 dB)."""
+
+import sys
+import types
+
+import numpy as np
+
+
+def _stub_reference_deps():
+    sp = types.ModuleType("sentencepiece")
+    sp.SentencePieceProcessor = object
+    sys.modules["sentencepiece"] = sp
+    d = types.ModuleType("diffusers")
+    cu = types.ModuleType("diffusers.configuration_utils")
+
+    class ConfigMixin:  # noqa: D401
+        pass
+
+    cu.ConfigMixin = ConfigMixin
+    cu.register_to_config = lambda fn: fn
+    sys.modules.update({"diffusers": d, "diffusers.configuration_utils": cu})
+    sys.argv = [sys.argv[0], "--always-cpu"]
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/packages_3rdparty")
+
+
+def main():
+    _stub_reference_deps()
+    import torch
+
+    from backend.nn.unet import IntegratedUNet2DConditionModel
+    from backend.nn.vae import IntegratedAutoencoderKL
+
+    sys.path.insert(0, "tests")
+    from fixtures import CTX, MODEL_CH, VAE_CH, make_unet_sd, make_vae_sd
+
+    # -- UNet -------------------------------------------------------------
+    sd = make_unet_sd(prefix="", seed=1)
+    model = IntegratedUNet2DConditionModel(
+        in_channels=4, model_channels=MODEL_CH, out_channels=4,
+        num_res_blocks=1, channel_mult=(1, 2), num_heads=4,
+        use_spatial_transformer=True, transformer_depth=[1, 0],
+        transformer_depth_output=[1, 1, 0, 0], transformer_depth_middle=1,
+        context_dim=CTX)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    model.eval().float()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4, 16, 16)).astype(np.float32)
+    t = np.asarray([5.0, 900.0], np.float32)
+    ctx = rng.standard_normal((2, 9, CTX)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(x), torch.tensor(t), torch.tensor(ctx)).numpy()
+    np.savez("tests/golden/unet_sd15_tiny.npz", x=x, t=t, ctx=ctx, ref=ref)
+    print("unet golden written", ref.shape)
+
+    # -- VAE --------------------------------------------------------------
+    vsd = make_vae_sd(prefix="", seed=2)
+    vae = IntegratedAutoencoderKL(
+        block_out_channels=(VAE_CH, 2 * VAE_CH, 2 * VAE_CH, 2 * VAE_CH),
+        layers_per_block=1)
+    missing, unexpected = vae.load_state_dict(
+        {k: torch.tensor(v) for k, v in vsd.items()}, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    vae.eval().float()
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    img = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        dec = vae.decode(torch.tensor(z)).numpy()
+        enc = vae.quant_conv(vae.encoder(torch.tensor(img))).numpy()
+    np.savez("tests/golden/vae_sd15_tiny.npz", z=z, img=img, dec=dec,
+             enc_moments=enc)
+    print("vae golden written", dec.shape)
+
+
+if __name__ == "__main__":
+    main()
