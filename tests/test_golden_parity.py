@@ -73,3 +73,24 @@ def test_vae_matches_reference():
     m = tnn.conv2d(m, params["quant_conv"])
     psnr_e = _psnr(np.asarray(m).transpose(0, 3, 1, 2), g["enc_moments"])
     assert psnr_e >= 40.0, f"VAE encode diverged: PSNR {psnr_e:.1f} dB"
+
+
+def test_clip_matches_reference():
+    """HF CLIPTextModel is the implementation the reference wraps
+    (text_processing/classic_engine.py); measured 134 dB."""
+    path = os.path.join(GOLDEN, "clip_sd15_tiny.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (tools/make_golden.py)")
+    from fixtures import make_clip_sd
+
+    from forge_tpu.models.clip import ClipConfig, clip_text_apply
+
+    g = np.load(path)
+    params = nest({k: jnp.asarray(v)
+                   for k, v in make_clip_sd(prefix="", seed=3).items()})
+    final, hiddens, pooled = clip_text_apply(
+        params, jnp.asarray(g["toks"].astype(np.int32)),
+        cfg=ClipConfig(num_heads=4, act="quick_gelu"))
+    assert _psnr(np.asarray(final), g["ref"]) >= 40.0
+    assert _psnr(np.asarray(hiddens[-2]), g["hidden_m2"]) >= 40.0  # clip-skip tap
+    assert np.abs(np.asarray(pooled) - g["pooled"]).max() < 1e-4

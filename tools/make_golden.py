@@ -82,6 +82,33 @@ def main():
              enc_moments=enc)
     print("vae golden written", dec.shape)
 
+    # -- CLIP text encoder (HF transformers is the reference implementation
+    # the reference wraps — classic_engine.py builds on CLIPTextModel) ------
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    from fixtures import CLIP_LAYERS, CLIP_WIDTH, VOCAB, make_clip_sd
+
+    csd = make_clip_sd(prefix="", seed=3)
+    ccfg = CLIPTextConfig(vocab_size=VOCAB, hidden_size=CLIP_WIDTH,
+                          intermediate_size=CLIP_WIDTH * 4,
+                          num_hidden_layers=CLIP_LAYERS,
+                          num_attention_heads=4, max_position_embeddings=77,
+                          hidden_act="quick_gelu", eos_token_id=VOCAB - 1)
+    clip = CLIPTextModel(ccfg)
+    clip.load_state_dict({k: torch.tensor(v) for k, v in csd.items()},
+                         strict=False)
+    clip.eval()
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, VOCAB - 1, (2, 77)).astype(np.int64)
+    toks[:, -1] = VOCAB - 1
+    with torch.no_grad():
+        out = clip(torch.tensor(toks), output_hidden_states=True)
+    np.savez("tests/golden/clip_sd15_tiny.npz", toks=toks,
+             ref=out.last_hidden_state.numpy(),
+             pooled=out.pooler_output.numpy(),
+             hidden_m2=out.hidden_states[-2].numpy())
+    print("clip golden written", out.last_hidden_state.shape)
+
 
 if __name__ == "__main__":
     main()
