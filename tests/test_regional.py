@@ -45,7 +45,12 @@ def test_zero_strength_region_is_identity(engine):
     p = _p(regional_prompts=[{"prompt": "a dragon", "weight": 0.0,
                               "area": (0.5, 0.0, 0.5, 1.0), "feather": 0}])
     out = process_images(engine, p).images[0]
-    assert np.array_equal(out, base)
+    # ±1 LSB: the two runs compile different executables (branch vs plain
+    # path) and the persistent compile cache may hold code generated on a
+    # different host machine with different fma ordering; the blend math
+    # itself is exact (test_masked_blend_math)
+    diff = np.abs(out.astype(np.int32) - base.astype(np.int32))
+    assert diff.max() <= 1
 
 
 def test_masked_blend_math():
