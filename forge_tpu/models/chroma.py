@@ -48,7 +48,11 @@ def chroma_apply(
     ps = cfg.patch_size
     hh, ww = h // ps, w // ps
 
-    img = x.reshape(b, hh, ps, ww, ps, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * ww, c * ps * ps)
+    # channel-major "(c ph pw)" patch features — the flux-family checkpoint
+    # convention (see models/flux.py patchify)
+    img = (x.reshape(b, hh, ps, ww, ps, c)
+           .transpose(0, 1, 3, 5, 2, 4)
+           .reshape(b, hh * ww, c * ps * ps))
     img = nn.linear(img, params["img_in"])
     txt = nn.linear(context, params["txt_in"])
 
@@ -132,4 +136,6 @@ def chroma_apply(
     img = x_seq[:, l_txt:]
     img = nn.layer_norm(img) * (1 + final_scale) + final_shift
     out = nn.linear(img, params["final_layer"]["linear"])
-    return out.reshape(b, hh, ww, ps, ps, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+    return (out.reshape(b, hh, ww, c, ps, ps)
+            .transpose(0, 1, 4, 2, 5, 3)
+            .reshape(b, h, w, c))

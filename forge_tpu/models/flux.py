@@ -177,8 +177,11 @@ def flux_apply(
     ps = cfg.patch_size
     hh, ww = h // ps, w // ps
 
-    # 2×2 patchify (reference flux.py:400-422)
-    img = x.reshape(b, hh, ps, ww, ps, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * ww, c * ps * ps)
+    # 2×2 patchify (reference flux.py:400-422); feature order is
+    # channel-major "(c ph pw)" — the layout img_in's trained weights expect
+    img = (x.reshape(b, hh, ps, ww, ps, c)
+           .transpose(0, 1, 3, 5, 2, 4)
+           .reshape(b, hh * ww, c * ps * ps))
     img = nn.linear(img, params["img_in"])
     txt = nn.linear(context, params["txt_in"])
 
@@ -211,6 +214,8 @@ def flux_apply(
         x_seq = single_block(sbs[str(i)], x_seq, vec, pe, cfg)
     img = x_seq[:, l_txt:]
 
-    out = final_layer(params["final_layer"], img, vec)  # [B, hh*ww, ps*ps*c]
-    out = out.reshape(b, hh, ww, ps, ps, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+    out = final_layer(params["final_layer"], img, vec)  # [B, hh*ww, c*ps*ps]
+    out = (out.reshape(b, hh, ww, c, ps, ps)
+           .transpose(0, 1, 4, 2, 5, 3)
+           .reshape(b, h, w, c))
     return out

@@ -94,3 +94,48 @@ def test_clip_matches_reference():
     assert _psnr(np.asarray(final), g["ref"]) >= 40.0
     assert _psnr(np.asarray(hiddens[-2]), g["hidden_m2"]) >= 40.0  # clip-skip tap
     assert np.abs(np.asarray(pooled) - g["pooled"]).max() < 1e-4
+
+
+def test_t5_matches_reference():
+    """HF T5EncoderModel parity (relative attention bias + masking);
+    measured 122 dB."""
+    path = os.path.join(GOLDEN, "t5_tiny.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (tools/make_golden.py)")
+    from forge_tpu.core.synth import synth_t5_sd
+    from forge_tpu.models.t5 import t5_apply
+
+    g = np.load(path)
+    sd = synth_t5_sd(width=64, layers=2, heads=4, ff=128, vocab=100,
+                     fill="random", seed=24, prefix="")
+    params = nest({k: jnp.asarray(np.asarray(v)) for k, v in sd.items()})
+    out = t5_apply(params, jnp.asarray(g["toks"].astype(np.int32)), num_heads=4,
+                   attention_mask=jnp.asarray(g["mask"].astype(np.float32)))
+    psnr = _psnr(np.asarray(out), g["ref"])
+    assert psnr >= 40.0, f"T5 diverged: PSNR {psnr:.1f} dB"
+
+
+def test_flux_matches_reference():
+    """Reference torch IntegratedFluxTransformer2DModel parity (patchify
+    channel ordering, RoPE, adaLN modulation); measured 85 dB — the
+    residual is the reference's own ~1e-4 timestep-embedding note
+    (backend/nn/flux.py:56)."""
+    path = os.path.join(GOLDEN, "flux_tiny.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (tools/make_golden.py)")
+    from forge_tpu.core.synth import synth_flux_sd
+    from forge_tpu.models.flux import FluxConfig, flux_apply
+
+    g = np.load(path)
+    sd = synth_flux_sd(hidden=64, num_heads=4, depth=2, depth_single=2,
+                       context_dim=64, pooled_dim=64, fill="random",
+                       seed=21, prefix="")
+    params = nest({k: jnp.asarray(np.asarray(v))
+                   for k, v in transform_for_jax(sd).items()})
+    out = flux_apply(params, jnp.asarray(g["x"].transpose(0, 2, 3, 1)),
+                     jnp.asarray(g["t"] * 1000.0), jnp.asarray(g["ctx"]),
+                     jnp.asarray(g["y"]), guidance=jnp.asarray(g["g"]),
+                     cfg=FluxConfig(num_heads=4, axes_dim=(4, 6, 6),
+                                    guidance_embed=True))
+    psnr = _psnr(np.asarray(out).transpose(0, 3, 1, 2), g["ref"])
+    assert psnr >= 40.0, f"Flux diverged: PSNR {psnr:.1f} dB"

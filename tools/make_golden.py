@@ -109,6 +109,57 @@ def main():
              hidden_m2=out.hidden_states[-2].numpy())
     print("clip golden written", out.last_hidden_state.shape)
 
+    # -- T5 encoder (HF is the implementation the reference wraps) --------
+    from transformers import T5Config, T5EncoderModel
+
+    from forge_tpu.core.synth import synth_flux_sd, synth_t5_sd
+
+    tsd = synth_t5_sd(width=64, layers=2, heads=4, ff=128, vocab=100,
+                      fill="random", seed=24, prefix="")
+    tcfg = T5Config(d_model=64, num_layers=2, num_heads=4, d_kv=64, d_ff=128,
+                    vocab_size=100, feed_forward_proj="gated-gelu",
+                    dense_act_fn="gelu_new", is_gated_act=True,
+                    tie_word_embeddings=False)
+    t5 = T5EncoderModel(tcfg)
+    t5.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in tsd.items()},
+                       strict=False)  # embed_tokens ties to shared
+    t5.eval()
+    rng = np.random.default_rng(13)
+    toks = rng.integers(0, 100, (2, 32)).astype(np.int64)
+    mask = np.ones((2, 32), np.int64)
+    mask[1, 20:] = 0
+    with torch.no_grad():
+        ref = t5(torch.tensor(toks),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    np.savez("tests/golden/t5_tiny.npz", toks=toks, mask=mask, ref=ref)
+    print("t5 golden written", ref.shape)
+
+    # -- Flux transformer (reference backend/nn/flux.py) ------------------
+    from backend.nn.flux import IntegratedFluxTransformer2DModel
+
+    fsd = synth_flux_sd(hidden=64, num_heads=4, depth=2, depth_single=2,
+                        context_dim=64, pooled_dim=64, fill="random",
+                        seed=21, prefix="")
+    flux = IntegratedFluxTransformer2DModel(
+        in_channels=16, vec_in_dim=64, context_in_dim=64, hidden_size=64,
+        mlp_ratio=4.0, num_heads=4, depth=2, depth_single_blocks=2,
+        axes_dim=[4, 6, 6], theta=10000, qkv_bias=True, guidance_embed=True)
+    missing, unexpected = flux.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in fsd.items()}, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    flux.eval().float()
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((1, 16, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 12, 64)).astype(np.float32)
+    yv = rng.standard_normal((1, 64)).astype(np.float32)
+    t = np.asarray([0.35], np.float32)
+    gd = np.asarray([4.0], np.float32)
+    with torch.no_grad():
+        ref = flux(torch.tensor(x), torch.tensor(t), torch.tensor(ctx),
+                   torch.tensor(yv), guidance=torch.tensor(gd)).numpy()
+    np.savez("tests/golden/flux_tiny.npz", x=x, ctx=ctx, y=yv, t=t, g=gd, ref=ref)
+    print("flux golden written", ref.shape)
+
 
 if __name__ == "__main__":
     main()
