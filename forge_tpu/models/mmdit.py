@@ -18,6 +18,7 @@ from typing import Any, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import nn
 from ..ops.attention import attention
@@ -144,7 +145,10 @@ def mmdit_apply(
     img = img.reshape(b, hh * ww, hidden)
 
     if "pos_embed" in params:
-        pe = _cropped_pos_embed(params["pos_embed"], hh, ww, cfg.pos_embed_max_size)
+        # infer the trained grid side from the buffer itself (sd3-medium 192,
+        # sd3.5-large 384, tiny test models smaller)
+        max_size = int(round(float(np.sqrt(params["pos_embed"].shape[1]))))
+        pe = _cropped_pos_embed(params["pos_embed"], hh, ww, max_size)
         img = img + pe.astype(img.dtype)
 
     t_emb = nn.timestep_embedding(timesteps.astype(jnp.float32), 256, dtype=jnp.float32)

@@ -139,3 +139,25 @@ def test_flux_matches_reference():
                                     guidance_embed=True))
     psnr = _psnr(np.asarray(out).transpose(0, 3, 1, 2), g["ref"])
     assert psnr >= 40.0, f"Flux diverged: PSNR {psnr:.1f} dB"
+
+
+def test_mmdit_matches_reference():
+    """Reference torch MMDiTX parity (joint blocks, cropped pos grid,
+    channel-last unpatchify); measured 85 dB."""
+    path = os.path.join(GOLDEN, "mmdit_tiny.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (tools/make_golden.py)")
+    from forge_tpu.core.synth import synth_mmdit_sd
+    from forge_tpu.models.mmdit import mmdit_apply
+
+    g = np.load(path)
+    sd = synth_mmdit_sd(hidden=64, depth=1, context_dim=32, pooled_dim=48,
+                        in_channels=16, pos_max=8, fill="random", seed=31,
+                        prefix="")
+    params = nest({k: jnp.asarray(np.asarray(v))
+                   for k, v in transform_for_jax(sd).items()})
+    out = mmdit_apply(params, jnp.asarray(g["x"].transpose(0, 2, 3, 1)),
+                      jnp.asarray(g["t"]), jnp.asarray(g["ctx"]),
+                      jnp.asarray(g["y"]))
+    psnr = _psnr(np.asarray(out).transpose(0, 3, 1, 2), g["ref"])
+    assert psnr >= 40.0, f"MMDiT diverged: PSNR {psnr:.1f} dB"

@@ -160,6 +160,34 @@ def main():
     np.savez("tests/golden/flux_tiny.npz", x=x, ctx=ctx, y=yv, t=t, g=gd, ref=ref)
     print("flux golden written", ref.shape)
 
+    # -- SD3 MMDiTX (reference backend/nn/mmditx.py) ----------------------
+    from backend.nn.mmditx import MMDiTX
+
+    from forge_tpu.core.synth import synth_mmdit_sd
+
+    msd = synth_mmdit_sd(hidden=64, depth=1, context_dim=32, pooled_dim=48,
+                         in_channels=16, pos_max=8, fill="random", seed=31,
+                         prefix="")
+    mm = MMDiTX(patch_size=2, in_channels=16, depth=1, adm_in_channels=48,
+                context_embedder_config={
+                    "target": "torch.nn.Linear",
+                    "params": {"in_features": 32, "out_features": 64}},
+                pos_embed_max_size=8, num_patches=64)
+    missing, unexpected = mm.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in msd.items()}, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    mm.eval().float()
+    rng = np.random.default_rng(19)
+    x = rng.standard_normal((1, 16, 8, 8)).astype(np.float32)
+    t = np.asarray([350.0], np.float32)
+    ctx = rng.standard_normal((1, 10, 32)).astype(np.float32)
+    yv = rng.standard_normal((1, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref = mm(torch.tensor(x), torch.tensor(t), y=torch.tensor(yv),
+                 context=torch.tensor(ctx)).numpy()
+    np.savez("tests/golden/mmdit_tiny.npz", x=x, t=t, ctx=ctx, y=yv, ref=ref)
+    print("mmdit golden written", ref.shape)
+
 
 if __name__ == "__main__":
     main()
