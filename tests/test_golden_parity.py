@@ -161,3 +161,27 @@ def test_mmdit_matches_reference():
                       jnp.asarray(g["y"]))
     psnr = _psnr(np.asarray(out).transpose(0, 3, 1, 2), g["ref"])
     assert psnr >= 40.0, f"MMDiT diverged: PSNR {psnr:.1f} dB"
+
+
+def test_chroma_matches_reference():
+    """Reference torch IntegratedChromaTransformer2DModel parity
+    (Approximator mod vectors, pruned modulation); measured 81 dB."""
+    path = os.path.join(GOLDEN, "chroma_tiny.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (tools/make_golden.py)")
+    from forge_tpu.core.synth import synth_chroma_sd
+    from forge_tpu.models.chroma import chroma_apply
+    from forge_tpu.models.flux import FluxConfig
+
+    g = np.load(path)
+    sd = synth_chroma_sd(hidden=64, num_heads=4, depth=2, depth_single=2,
+                         context_dim=32, approx_hidden=64, approx_layers=2,
+                         fill="random", seed=8, prefix="")
+    params = nest({k: jnp.asarray(np.asarray(v))
+                   for k, v in transform_for_jax(sd).items()})
+    out = chroma_apply(params, jnp.asarray(g["x"].transpose(0, 2, 3, 1)),
+                       jnp.asarray(g["t"] * 1000.0), jnp.asarray(g["ctx"]),
+                       cfg=FluxConfig(num_heads=4, axes_dim=(4, 6, 6),
+                                      guidance_embed=False))
+    psnr = _psnr(np.asarray(out).transpose(0, 3, 1, 2), g["ref"])
+    assert psnr >= 40.0, f"Chroma diverged: PSNR {psnr:.1f} dB"

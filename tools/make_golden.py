@@ -188,6 +188,32 @@ def main():
     np.savez("tests/golden/mmdit_tiny.npz", x=x, t=t, ctx=ctx, y=yv, ref=ref)
     print("mmdit golden written", ref.shape)
 
+    # -- Chroma (reference backend/nn/chroma.py) --------------------------
+    from backend.nn.chroma import IntegratedChromaTransformer2DModel
+
+    from forge_tpu.core.synth import synth_chroma_sd
+
+    csd2 = synth_chroma_sd(hidden=64, num_heads=4, depth=2, depth_single=2,
+                           context_dim=32, approx_hidden=64, approx_layers=2,
+                           fill="random", seed=8, prefix="")
+    ch = IntegratedChromaTransformer2DModel(
+        in_channels=16, vec_in_dim=16, context_in_dim=32, hidden_size=64,
+        mlp_ratio=4.0, num_heads=4, depth=2, depth_single_blocks=2,
+        axes_dim=[4, 6, 6], theta=10000, qkv_bias=True,
+        guidance_out_dim=64, guidance_hidden_dim=64, guidance_n_layers=2)
+    missing, unexpected = ch.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in csd2.items()}, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ch.eval().float()
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((1, 16, 8, 8)).astype(np.float32)
+    t = np.asarray([0.5], np.float32)
+    ctx = rng.standard_normal((1, 12, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = ch(torch.tensor(x), torch.tensor(t), torch.tensor(ctx)).numpy()
+    np.savez("tests/golden/chroma_tiny.npz", x=x, t=t, ctx=ctx, ref=ref)
+    print("chroma golden written", ref.shape)
+
 
 if __name__ == "__main__":
     main()
