@@ -424,9 +424,43 @@ class Api:
                 img = (restored.astype(np.float32) * vis
                        + img.astype(np.float32) * (1 - vis) + 0.5).astype(np.uint8)
         name = body.get("upscaler_1", "Lanczos")
-        scale = float(body.get("upscaling_resize", 2))
+        # resize_mode 1 = scale-to-size (reference postprocessing_upscale.py):
+        # derive the scale from the requested target dims
+        if int(body.get("resize_mode", 0) or 0) == 1:
+            tw = int(body.get("upscaling_resize_w", 512) or 512)
+            th = int(body.get("upscaling_resize_h", 512) or 512)
+            h, w = img.shape[:2]
+            if body.get("upscaling_crop", True):
+                scale = max(tw / w, th / h)
+            else:
+                scale = min(tw / w, th / h)
+        else:
+            tw = th = None
+            scale = float(body.get("upscaling_resize", 2))
         if name and name != "None" and scale != 1:
             img = work_queue.run_and_wait(self.upscalers.get(name).upscale, img, scale)
+            # secondary upscaler blended by visibility (reference
+            # extras-API upscaler_2 + extras_upscaler_2_visibility)
+            name2 = body.get("upscaler_2", "None")
+            vis2 = float(body.get("extras_upscaler_2_visibility", 0) or 0)
+            if name2 and name2 != "None" and vis2 > 0:
+                img2 = work_queue.run_and_wait(self.upscalers.get(name2).upscale,
+                                               _b64_to_image(img_b64), scale)
+                if img2.shape == img.shape:
+                    img = (img2.astype(np.float32) * vis2
+                           + img.astype(np.float32) * (1 - vis2) + 0.5).astype(np.uint8)
+        if tw is not None:
+            # center-crop (or plain resize) to the exact requested dims
+            from PIL import Image
+
+            pim = Image.fromarray(img)
+            if body.get("upscaling_crop", True) and (pim.width != tw or pim.height != th):
+                left = max(0, (pim.width - tw) // 2)
+                top = max(0, (pim.height - th) // 2)
+                pim = pim.crop((left, top, left + tw, top + th))
+            if (pim.width, pim.height) != (tw, th):
+                pim = pim.resize((tw, th), Image.LANCZOS)
+            img = np.asarray(pim)
         return _image_to_b64(img)
 
     def extra_single(self, query, body):
@@ -636,7 +670,11 @@ class _Handler(BaseHTTPRequestHandler):
         from ..runtime.logging import log_event
 
         if getattr(self, "auth", None):
-            if self.headers.get("Authorization") not in self.auth:
+            import hmac
+
+            supplied = self.headers.get("Authorization") or ""
+            # constant-time check against each configured credential
+            if not any(hmac.compare_digest(supplied, want) for want in self.auth):
                 self.send_response(401)
                 self.send_header("WWW-Authenticate", 'Basic realm="forge-tpu"')
                 self.send_header("Content-Length", "0")

@@ -245,15 +245,18 @@ def dequantize_gq4(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:
 
 
 def quantize_gq8(w: np.ndarray, block: int = 32) -> Dict[str, Any]:
-    """Asymmetric 8-bit (int8 codes 0..255 offset to −128..127 unused —
-    codes stay in 0..255 range mapped via min)."""
+    """Asymmetric 8-bit, full 0..255 range: unsigned codes u∈[0,255] are
+    stored shifted as int8 codes c=u−128 so the fused kernel's int8 bitcast
+    stays valid; the +128·scale shift is folded into the stored min term
+    (dequant = c·scale − mins with mins = −lo − 128·scale)."""
     shape = w.shape
     g = np.asarray(w, np.float32).reshape(-1, block)
     lo, hi = g.min(axis=1), g.max(axis=1)
-    scale = np.where(hi > lo, (hi - lo) / 127.0, 1.0)
-    q = np.clip(np.round((g - lo[:, None]) / scale[:, None]), 0, 127).astype(np.int8)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    u = np.clip(np.round((g - lo[:, None]) / scale[:, None]), 0, 255)
+    q = (u - 128).astype(np.int8)
     return {"kind": "gq8", "codes": q.reshape(-1), "scales": scale.astype(np.float16),
-            "mins": (-lo).astype(np.float16), "shape": tuple(shape), "block": block}
+            "mins": (-lo - 128.0 * scale).astype(np.float16), "shape": tuple(shape), "block": block}
 
 
 def dequantize_gq8(q: Mapping[str, Any], dtype=jnp.bfloat16) -> jax.Array:

@@ -22,6 +22,7 @@ import configparser
 import dataclasses
 import json
 import os
+import re
 import subprocess
 import time
 from typing import Dict, List, Optional
@@ -161,7 +162,11 @@ def save_config_state(name: str = "", dirname: str = "config_states") -> str:
         "settings": opts.dump_registry(),
         "extensions": [dataclasses.asdict(e) for e in list_extensions()],
     }
-    path = os.path.join(dirname, f"{created}_{(name or 'config').replace(' ', '_')}.json")
+    # API-supplied name: strip anything path-like so the file always lands
+    # inside dirname (no ../ traversal via POST /config_states/save)
+    safe = re.sub(r"[^\w.-]", "_", os.path.basename(name or "config")) or "config"
+    path = os.path.join(dirname, f"{created}_{safe}.json")
+    assert os.path.dirname(os.path.abspath(path)) == os.path.abspath(dirname)
     with open(path, "w", encoding="utf8") as f:
         json.dump(state, f, indent=2, default=str)
     return path

@@ -127,23 +127,43 @@ def make_cfg_model_fn(
                          for m, w in zip(masks, weights)]
                 denom = sum(jnp.broadcast_to(m, outs[0].shape) for m in mults)
                 denom = jnp.maximum(denom, 1e-6)
-                eps_mix = sum(m * e for m, e in zip(mults, outs[: len(branches)])) / denom
-                if sel_un is not None:
-                    eps_un = outs[-1]
-                    combo = eps_un + cfg_scale * (eps_mix - eps_un)
-                    return (combo, eps_un) if return_uncond else combo
-                return (eps_mix, eps_mix) if return_uncond else eps_mix
-            if sel_un is not None:
-                eps_un = outs[-1]
-                combo = eps_un
-                for w, eps_c in zip(weights, outs[:-1]):
-                    combo = combo + cfg_scale * w * (eps_c - eps_un)
-                return (combo, eps_un) if return_uncond else combo
-            combo = jnp.zeros_like(outs[0])
-            total = sum(weights)
-            for w, eps_c in zip(weights, outs):
-                combo = combo + (w / total) * eps_c
-            return (combo, combo) if return_uncond else combo
+                eps_eff = sum(m * e for m, e in zip(mults, outs[: len(branches)])) / denom
+            elif sel_un is not None:
+                # AND semantics: un + cfg·Σ wᵢ(condᵢ − un) re-expressed as
+                # standard CFG against an effective cond so the hook pipeline
+                # (pre/post-CFG, cfg_combine_fn, rescale) applies identically
+                # to the multi-branch path (reference applies cfg_function and
+                # sampler hooks regardless of cond count,
+                # sampling_function.py:325).
+                eps_un0 = outs[-1]
+                total_w = sum(weights)
+                eps_eff = sum(w * e for w, e in zip(weights, outs[:-1]))
+                eps_eff = eps_eff - (total_w - 1.0) * eps_un0
+            else:
+                total = sum(weights)
+                eps_eff = sum((w / total) * e for w, e in zip(weights, outs))
+
+            if sel_un is None:
+                x0 = eps_eff
+                for hook in post_cfg_hooks:
+                    x0 = hook(x0, eps_eff, eps_eff, x, sigma)
+                return (x0, x0) if return_uncond else x0
+
+            eps_un = outs[-1]
+            for hook in pre_cfg_hooks:
+                eps_eff, eps_un = hook(eps_eff, eps_un, x, sigma)
+            if cfg_combine_fn is not None:
+                x0 = cfg_combine_fn(eps_eff, eps_un, x, sigma, cfg_scale)
+            else:
+                x0 = eps_un + cfg_scale * (eps_eff - eps_un)
+            if cfg_rescale > 0.0:
+                std_cond = jnp.std(eps_eff, axis=tuple(range(1, x0.ndim)), keepdims=True)
+                std_cfg = jnp.std(x0, axis=tuple(range(1, x0.ndim)), keepdims=True)
+                rescaled = x0 * (std_cond / jnp.maximum(std_cfg, 1e-8))
+                x0 = cfg_rescale * rescaled + (1 - cfg_rescale) * x0
+            for hook in post_cfg_hooks:
+                x0 = hook(x0, eps_eff, eps_un, x, sigma)
+            return (x0, eps_un) if return_uncond else x0
 
         return model_fn_multi
 

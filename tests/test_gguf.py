@@ -96,6 +96,10 @@ def _load_reference_quants():
         return sys.modules["gguf.quants"]
     pkg = types.ModuleType("gguf")
     pkg.__path__ = [base]
+    # a None __spec__ makes importlib.util.find_spec("gguf") raise in any
+    # later test (e.g. transformers probing optional deps) — give it a real one
+    pkg.__spec__ = importlib.machinery.ModuleSpec("gguf", None, is_package=True)
+    pkg.__spec__.submodule_search_locations = [base]
     sys.modules["gguf"] = pkg
     for mod in ("constants", "lazy", "quick_4bits_ops", "quants"):
         spec = importlib.util.spec_from_file_location(f"gguf.{mod}", f"{base}/{mod}.py")
