@@ -118,6 +118,10 @@ def _apply_alwayson_scripts(p: Processing, scripts: Dict[str, Any]) -> None:
             p.unet_hooks = {**(p.unet_hooks or {}), **hooks}
         elif low in ("lora", "extra networks"):
             pass  # loras ride the <lora:...> prompt syntax; nothing to do
+        elif low in ("ipadapter", "ip-adapter", "ip adapter"):
+            from ..pipeline.ipadapter import attach as attach_ip
+
+            attach_ip(p, _first_dict(args))
         elif low in ("latent modifier", "latentmodifier", "latent mega modifier"):
             from ..extensions.latent_modifier import attach as attach_lm
 
@@ -175,10 +179,10 @@ def _apply_alwayson_scripts(p: Processing, scripts: Dict[str, Any]) -> None:
             p.deferred_hooks = list(p.deferred_hooks or []) + [attach_pag]
         else:
             raise ApiError(422, f"unknown alwayson script {name!r} — supported: "
-                                f"controlnet, freeu, sag, pag, stylealign, "
-                                f"dynamic thresholding, kohya hrfix, latent "
-                                f"modifier, soft inpainting, fooocus inpaint, "
-                                f"controlllite")
+                                f"controlnet, ipadapter, freeu, sag, pag, "
+                                f"stylealign, dynamic thresholding, kohya hrfix, "
+                                f"latent modifier, soft inpainting, fooocus "
+                                f"inpaint, controlllite")
 
 
 def _first_dict(args) -> Dict[str, Any]:
@@ -746,8 +750,20 @@ def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 786
     server.api = api
     server.restart_requested = False
     api._server = server
-    from ..runtime.scripts import fire
+    from ..runtime.scripts import callbacks, fire
 
+    # ui_tabs: extensions contribute custom tabs (reference script_callbacks
+    # ui_tabs_callback → gradio tabs). Each callback returns a list of
+    # {"id", "title", "html"} dicts; the SPA fetches /sdapi/v1/ui-tabs and
+    # renders them as extra tabs.
+    tabs = []
+    for cb in callbacks("ui_tabs"):
+        try:
+            tabs.extend(cb() or [])
+        except Exception as e:  # noqa: BLE001 — extension errors must not kill startup
+            print(f"ui_tabs callback failed: {e}")
+    api.custom_tabs = tabs
+    api.routes[("GET", "/sdapi/v1/ui-tabs")] = lambda q, b: api.custom_tabs
     fire("app_started", server)
     return server
 
@@ -759,6 +775,9 @@ def serve(models: ModelManager, host: str = "127.0.0.1", port: int = 7860,
     server = create_server(models, host, port, api_auth=api_auth)
     print(f"forge-tpu API listening on http://{host}:{port}")
     server.serve_forever()
+    from ..runtime.scripts import fire
+
+    fire("script_unloaded")
     if getattr(server, "restart_requested", False):
         import os
         import sys as _sys

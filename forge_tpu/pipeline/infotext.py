@@ -218,6 +218,12 @@ def parse_generation_parameters(x: str, skip_fields: Optional[list] = None
 
     for key in skip_fields or []:
         res.pop(key, None)
+
+    # extensions may rewrite/augment the parsed params (reference
+    # script_callbacks.infotext_pasted_callback, infotext_utils.py paste path)
+    from ..runtime.scripts import fire
+
+    fire("infotext_pasted", x, res)
     return res
 
 

@@ -111,6 +111,11 @@ class Processing:
     # compiled loop is split at phase boundaries (the scan-world analog of the
     # reference's per-call sigma gating in timestep-ranged patches)
     hook_phases: Optional[List[Tuple[float, Dict[str, Any]]]] = None
+    # MultiDiffusion tiled denoising (sampling/tiled.py): {"tile": 96,
+    # "overlap": 32} in latent units — the denoiser runs per overlapping tile
+    # inside the compiled loop and blends with Gaussian weights (the reference
+    # sd_forge_multidiffusion extension)
+    tiled_diffusion: Optional[Dict[str, int]] = None
     # regional prompts: extra cond branches blended by a spatial multiplier
     # map (the reference's per-cond area/mask machinery,
     # backend/sampling/sampling_function.py:17-63). Each entry:
@@ -274,6 +279,7 @@ def _sample_jit_key(p: Processing, engine, shape, skip_uncond, sigmas, kind="txt
         skip_uncond, float(p.s_churn), float(p.s_noise), p.eta,
         float(getattr(p, "eta_ddim", 0.0)), p.cfg_rescale,
         len(branches), weights, bool(getattr(engine, "_offload_active", False)),
+        tuple(sorted(p.tiled_diffusion.items())) if p.tiled_diffusion else None,
     )
 
 
@@ -353,11 +359,20 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
         apply_model = cfg_mod.make_apply_model(
             apply_raw, unet_params, predictor, engine.compute_dtype
         )
+        if p.tiled_diffusion:
+            from ..sampling.tiled import make_tiled_apply
+
+            td = p.tiled_diffusion
+            apply_model = make_tiled_apply(
+                apply_model, x.shape[1], x.shape[2],
+                tile=int(td.get("tile", 96)), overlap=int(td.get("overlap", 32)))
+            p.extra_generation_params.setdefault(
+                "Tiled Diffusion", f"MultiDiffusion tile {td.get('tile', 96)}")
         model_fn = cfg_mod.make_cfg_model_fn(
             apply_model, cond, None if skip_uncond else uncond,
             cfg_scale * info.cfg_multiplier, cfg_rescale=p.cfg_rescale,
-            pre_cfg_hooks=tuple(p.pre_cfg_hooks or ()),
-            post_cfg_hooks=tuple(p.post_cfg_hooks or ()),
+            pre_cfg_hooks=tuple(p.pre_cfg_hooks or ()) + tuple(getattr(p, "_cb_pre_hooks", ())),
+            post_cfg_hooks=tuple(p.post_cfg_hooks or ()) + tuple(getattr(p, "_cb_post_hooks", ())),
             sigmas_np=sigmas_np,
             cond_branches=branches or None,
             branch_weights=branch_weights,
@@ -571,6 +586,8 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             engine, [p.prompt] * p.batch_size,
             registry=getattr(engine, "lora_registry", None), p=p,
         )
+        if runner is not None:
+            runner.after_extra_networks_activate(p, batch_number=it, prompts=prompts)
         negs = [parse_prompt_networks_stripped(p.negative_prompt)] * p.batch_size
 
         orig_te = {}
@@ -627,9 +644,16 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
         ts = time.time()
         if runner is not None:
             batch_images = runner.postprocess_batch(p, batch_images, batch_number=it)
+            # list-mutating variant: scripts may add/remove/reorder images
+            blist = runner.postprocess_batch_list(
+                p, [batch_images[i] for i in range(len(batch_images))], batch_number=it)
+            if blist is not None:
+                batch_images = blist
         restore = p.restore_faces or _opt_bool("face_restoration")
-        for b in range(p.batch_size):
+        for b in range(len(batch_images)):
             img = batch_images[b]
+            bseed = seeds[min(b, len(seeds) - 1)]
+            bsub = subseeds[min(b, len(subseeds) - 1)]
             if restore:
                 # reference processing.py:1036-1044 face restoration step
                 from ..postprocessing.faces import get_face_restorer
@@ -648,10 +672,17 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
                 img = apply_color_correction(setup_color_correction(src), img)
             if is_img2img and p.inpaint_mask is not None:
                 img = _composite_inpaint(p, img, p.init_images[min(b, len(p.init_images) - 1)])
+                if runner is not None:
+                    blended = runner.on_mask_blend(p, img, index=b)
+                    if blended is not None:
+                        img = blended
+                    after = runner.postprocess_image_after_composite(p, img, index=b)
+                    if after is not None:
+                        img = after
             if runner is not None:
                 img = runner.postprocess_image(p, img, index=b)
             images.append(img)
-            info = create_infotext(p, seeds[b], subseeds[b])
+            info = create_infotext(p, bseed, bsub)
             infotexts.append(info)
             if _opt_bool("samples_save") and not getattr(p, "do_not_save_samples", False):
                 from ..runtime.options import opts as _o
@@ -801,6 +832,20 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
     # CONTENT, not identity: a fresh-but-identical manifest (every scripted
     # request rebuilds one) must hit the cache, and a different manifest must
     # miss it (VERDICT r1 weak #4).
+    # global CFG events (reference script_callbacks cfg_denoiser/denoised/
+    # after_cfg): fired once per sampler run; contributed closures compile
+    # into the loop (see runtime.scripts.CFGHookParams)
+    from ..runtime.scripts import CFGHookParams, callbacks as _event_cbs, fire as _fire
+
+    p._cb_pre_hooks, p._cb_post_hooks = (), ()
+    if any(_event_cbs(e) for e in ("cfg_denoiser", "cfg_denoised", "cfg_after_cfg")):
+        hp = CFGHookParams(p, np.asarray(sigmas, np.float32), len(sigmas) - 1)
+        _fire("cfg_denoiser", hp)
+        _fire("cfg_denoised", hp)
+        _fire("cfg_after_cfg", hp)
+        p._cb_pre_hooks = tuple(hp.pre_cfg_hooks)
+        p._cb_post_hooks = tuple(hp.post_cfg_hooks)
+
     from ..core.digest import manifest_digest
 
     key = _sample_jit_key(p, engine, shape, skip_uncond, sigmas, kind) + (
@@ -811,6 +856,8 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
         manifest_digest(p.pre_cfg_hooks) if p.pre_cfg_hooks else None,
         manifest_digest(p.cfg_combine_hook) if p.cfg_combine_hook else None,
         manifest_digest(p.soft_inpainting) if p.soft_inpainting else None,
+        manifest_digest(p._cb_pre_hooks) if p._cb_pre_hooks else None,
+        manifest_digest(p._cb_post_hooks) if p._cb_post_hooks else None,
     )
     if key not in engine._jit_cache:
         engine._jit_cache[key] = _build_sample_fn(
@@ -956,6 +1003,8 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     _PHASE["sample"] = time.time() - t1
 
     if p.enable_hr:
+        if p.scripts is not None:
+            p.scripts.before_hr(p)
         hr_engine = engine
         if p.hr_checkpoint_name or getattr(p, "_hr_engine", None) is not None:
             hr_engine = _resolve_engine(p, p.hr_checkpoint_name, "_hr_engine")
@@ -1109,6 +1158,9 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     info = get_sampler(p.sampler_name)
     lc = engine.latent_format.latent_channels
     h8, w8 = p.height // 8, p.width // 8
+
+    if p.scripts is not None:
+        p.scripts.before_process_init_images(p)
 
     # init latent from the VAE
     imgs = []

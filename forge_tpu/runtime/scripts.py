@@ -47,13 +47,39 @@ class Script:
         """Last chance to mutate the hook manifest / conds before the
         compiled sampler runs (the ControlNet attach point)."""
 
+    def after_extra_networks_activate(self, p, **kw):
+        """After <lora:...> activation patched the weight trees
+        (reference scripts.py:179)."""
+
+    def before_process_init_images(self, p, **kw):
+        """img2img only: mutate p.init_images before VAE encode
+        (reference scripts.py:864)."""
+
+    def before_hr(self, p):
+        """Before the hires-fix second pass (reference scripts.py:348)."""
+
     def post_sample(self, p, latent, **kw):
         return latent
+
+    def on_mask_blend(self, p, blended, **kw):
+        """After the inpaint latent/pixel blend; return a replacement
+        blended image (reference scripts.py:244 MaskBlendArgs)."""
+        return blended
 
     def postprocess_batch(self, p, images, **kw):
         return images
 
+    def postprocess_batch_list(self, p, images, **kw):
+        """Mutate the accumulated batch image LIST (add/remove/reorder —
+        reference scripts.py:225 PostprocessBatchListArgs)."""
+        return images
+
     def postprocess_image(self, p, image, **kw):
+        return image
+
+    def postprocess_image_after_composite(self, p, image, **kw):
+        """After the inpaint composite pasted generated pixels back
+        (reference scripts.py:277)."""
         return image
 
     def postprocess(self, p, processed):
@@ -119,14 +145,32 @@ class ScriptRunner:
     def process_before_every_sampling(self, p, **kw):
         self._run("process_before_every_sampling", p, **kw)
 
+    def after_extra_networks_activate(self, p, **kw):
+        self._run("after_extra_networks_activate", p, **kw)
+
+    def before_process_init_images(self, p, **kw):
+        self._run("before_process_init_images", p, **kw)
+
+    def before_hr(self, p):
+        self._run("before_hr", p)
+
     def post_sample(self, p, latent, **kw):
         return self._run("post_sample", p, latent, **kw)
+
+    def on_mask_blend(self, p, blended, **kw):
+        return self._run("on_mask_blend", p, blended, **kw)
 
     def postprocess_batch(self, p, images, **kw):
         return self._run("postprocess_batch", p, images, **kw)
 
+    def postprocess_batch_list(self, p, images, **kw):
+        return self._run("postprocess_batch_list", p, images, **kw)
+
     def postprocess_image(self, p, image, **kw):
         return self._run("postprocess_image", p, image, **kw)
+
+    def postprocess_image_after_composite(self, p, image, **kw):
+        return self._run("postprocess_image_after_composite", p, image, **kw)
 
     def postprocess(self, p, processed):
         self._run("postprocess", p, processed)
@@ -146,6 +190,28 @@ EVENTS = (
     "image_saved", "cfg_denoiser", "cfg_denoised", "cfg_after_cfg",
     "before_process", "script_unloaded", "infotext_pasted",
 )
+
+
+class CFGHookParams:
+    """Carrier for the cfg_denoiser / cfg_denoised / cfg_after_cfg events.
+
+    Compile-time re-expression of the reference's per-step callback params
+    (script_callbacks.py CFGDenoiserParams/CFGDenoisedParams/
+    AfterCFGCallbackParams): each event fires ONCE per compiled sampler build
+    instead of every step, and callbacks contribute jittable closures that run
+    INSIDE the compiled loop at the equivalent point —
+      * cfg_denoiser / cfg_denoised → append to `pre_cfg_hooks`
+        (fn(eps_cond, eps_uncond, x, σ) → (eps_cond, eps_uncond))
+      * cfg_after_cfg → append to `post_cfg_hooks`
+        (fn(x0, eps_cond, eps_uncond, x, σ) → x0)
+    """
+
+    def __init__(self, p, sigmas, total_sampling_steps):
+        self.p = p
+        self.sigmas = sigmas
+        self.total_sampling_steps = total_sampling_steps
+        self.pre_cfg_hooks: List[Callable] = []
+        self.post_cfg_hooks: List[Callable] = []
 
 
 def on(event: str, fn: Callable):
