@@ -235,9 +235,14 @@ _DEFAULTS = {
                                        ["Automatic", "Flash (Pallas)", "XLA"]),
     "s_min_uncond": _O(0.0, "NGMS: skip uncond below sigma", "perf"),
     "s_min_uncond_all": _O(False, "NGMS on all steps", "perf"),
-    "token_merging_ratio": _O(0.0, "Token merging ratio", "perf"),
-    "token_merging_ratio_img2img": _O(0.0, "Token merging ratio img2img", "perf"),
-    "token_merging_ratio_hr": _O(0.0, "Token merging ratio hires", "perf"),
+    # Token merging (reference backend/misc/tomesd.py) is deliberately NOT
+    # ported: it exists to shrink the materialized [L,L] attention matrix on
+    # memory-bound GPUs; under blockwise flash attention the logits never
+    # materialize, and ToMe's gather/scatter token indexing breaks XLA's
+    # static shapes for no memory win. The options are omitted rather than
+    # registered-but-dead.
+    "jit_cache_size": _O(16, "Max compiled sampler programs kept resident "
+                         "(LRU; evicted executables free their HBM)", "perf"),
     "pad_cond_uncond": _O(False, "Pad cond/uncond to same length", "perf"),
     "persistent_cond_cache": _O(True, "Keep cond cache across generations", "perf"),
     "batch_cond_uncond": _O(True, "Batch cond+uncond in one call", "perf"),
