@@ -1,19 +1,28 @@
-"""Benchmark: the BASELINE.json headline configs on the available accelerator.
+"""Benchmark: all five BASELINE.json configs on the available accelerator.
 
-Config 1: SD1.5 512×512 txt2img, Euler a, 20 steps, CFG 7  (target < 1 s p50)
-Config 2: SDXL 1024×1024 txt2img, DPM++ 2M Karras, 30 steps (target ≥ 1 img/s)
+1. SD1.5 512² txt2img, Euler a 20 steps, CFG 7          (target < 1 s p50)
+2. SDXL 1024² txt2img, DPM++ 2M Karras 30 steps          (target ≥ 1 img/s — see
+   PERF.md "FLOP budget": the single-chip bf16 ceiling is ≈0.46 img/s, so the
+   north star is restated as MFU × N-chip dp scaling)
+3. SDXL + LoRA + ControlNet-canny img2img inpaint, 20 steps
+4. Flux-dev-size NF4 and GGUF Q4_0 txt2img 1024² (s/step, fused dequant path)
+5. Batched serving + IP-Adapter + MultiDiffusion tiled 2× upscale
 
 Prints ONE JSON line; headline metric is SD1.5 p50 latency vs the 1 s target
-(vs_baseline > 1 means faster than target); SDXL numbers ride in `detail`.
+(vs_baseline > 1 means faster than target); configs 2-5 ride in `detail`.
+`python bench.py --serve` runs the queue-driven serving throughput bench.
 
-Weights are full-size zero-filled synthetic (matmul timing is data-
-independent). Measured latency is end-to-end per image — text encode, the
-whole compiled denoise loop, VAE decode, uint8 conversion — excluding one-time
-compilation, matching the reference's it/s convention."""
+Each config runs in its own subprocess: a 16 GB chip cannot hold two resident
+SDXL-scale programs, and the persistent compile cache amortizes across
+processes. Weights are full-size zero-filled synthetic (matmul timing is
+data-independent). Latency is end-to-end per image — text encode, the whole
+compiled denoise loop, VAE decode, uint8 — excluding one-time compilation,
+matching the reference's it/s convention."""
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
@@ -35,92 +44,269 @@ def _measure(engine, p, runs=3):
     return float(np.median(lat)), compile_s, lat
 
 
-def main():
-    import jax
+# ---------------------------------------------------------------------------
+# per-config entry points (each runs in a fresh subprocess)
 
-    from forge_tpu.core.synth import synth_sd15_checkpoint, synth_sdxl_checkpoint
+
+def config1():
+    from forge_tpu.core.synth import synth_sd15_checkpoint
     from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.processing import Processing
 
-    # batched serving throughput (img/s/chip at batch 2), measured FIRST in a
-    # fresh subprocess: once this parent process holds the SD1.5/SDXL engines
-    # their executables' HBM cannot be reclaimed, and a 16 GB chip cannot fit
-    # two resident SDXL programs.
-    batch_detail = {}
-    try:
-        import subprocess
+    eng = load_engine(synth_sd15_checkpoint(fill="zeros"))
+    p = Processing(prompt="a photograph of an astronaut riding a horse",
+                   negative_prompt="blurry", seed=1, steps=20,
+                   width=512, height=512, cfg_scale=7.0, sampler_name="Euler a")
+    p50, compile_s, lat = _measure(eng, p)
+    return {"sd15_512_p50_s": round(p50, 4),
+            "sd15_steps_per_s": round(20 / p50, 2),
+            "sd15_images_per_s": round(1.0 / p50, 4),
+            "sd15_compile_s": round(compile_s, 1),
+            "sd15_latencies": [round(x, 4) for x in lat]}
 
-        code = (
-            "import time, numpy as np\n"
-            "from forge_tpu.core.synth import synth_sdxl_checkpoint\n"
-            "from forge_tpu.pipeline.engine import load_engine\n"
-            "from forge_tpu.pipeline.processing import Processing, process_images\n"
-            "eng = load_engine(synth_sdxl_checkpoint(fill='zeros'))\n"
-            "p = Processing(prompt='bench', seed=1, steps=30, width=1024,\n"
-            "               height=1024, cfg_scale=7.0, sampler_name='DPM++ 2M',\n"
-            "               scheduler='karras', batch_size=2)\n"
-            "process_images(eng, p)\n"
-            "lat = []\n"
-            "for i in range(2):\n"
-            "    p.seed = 1000 + i\n"
-            "    t0 = time.time(); process_images(eng, p); lat.append(time.time() - t0)\n"
-            "print('B2RESULT', float(np.median(lat)))\n"
-        )
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                             text=True, timeout=2400).stdout
-        for line in out.splitlines():
-            if line.startswith("B2RESULT"):
-                b2 = float(line.split()[1])
-                batch_detail["sdxl_batch2_images_per_s"] = round(2.0 / b2, 4)
-                batch_detail["sdxl_batch2_p50_s"] = round(b2, 4)
-    except Exception as e:  # noqa: BLE001
-        batch_detail["sdxl_batch2_error"] = str(e)[:120]
 
-    prompt = "a photograph of an astronaut riding a horse, detailed, 4k"
-    neg = "blurry, low quality"
+def config2():
+    from forge_tpu.core.synth import synth_sdxl_checkpoint
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.processing import Processing
 
-    # -- config 1: SD1.5 512 -------------------------------------------------
-    eng15 = load_engine(synth_sd15_checkpoint(fill="zeros"))
-    p15 = Processing(prompt=prompt, negative_prompt=neg, seed=1, steps=20,
-                     width=512, height=512, cfg_scale=7.0, sampler_name="Euler a")
-    sd15_p50, sd15_compile, sd15_lat = _measure(eng15, p15)
-    del eng15
+    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    p = Processing(prompt="a photograph of an astronaut riding a horse",
+                   negative_prompt="blurry", seed=1, steps=30,
+                   width=1024, height=1024, cfg_scale=7.0,
+                   sampler_name="DPM++ 2M", scheduler="karras")
+    p50, compile_s, lat = _measure(eng, p)
+    return {"sdxl_1024_dpmpp2m_30step_p50_s": round(p50, 4),
+            "sdxl_images_per_s": round(1.0 / p50, 4),
+            "sdxl_steps_per_s": round(30 / p50, 2),
+            "sdxl_compile_s": round(compile_s, 1)}
 
-    # -- config 2: SDXL 1024 ---------------------------------------------------
-    detail_xl = {}
-    try:
-        engxl = load_engine(synth_sdxl_checkpoint(fill="zeros"))
-        pxl = Processing(prompt=prompt, negative_prompt=neg, seed=1, steps=30,
-                         width=1024, height=1024, cfg_scale=7.0,
-                         sampler_name="DPM++ 2M", scheduler="karras")
-        xl_p50, xl_compile, xl_lat = _measure(engxl, pxl)
-        detail_xl = {
-            "sdxl_1024_dpmpp2m_30step_p50_s": round(xl_p50, 4),
-            "sdxl_images_per_s": round(1.0 / xl_p50, 4),
-            "sdxl_steps_per_s": round(30 / xl_p50, 2),
-            "sdxl_compile_s": round(xl_compile, 1),
+
+def config2b():
+    """SDXL batch-2 serving throughput (single-chip batching reference)."""
+    from forge_tpu.core.synth import synth_sdxl_checkpoint
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.processing import Processing
+
+    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    p = Processing(prompt="bench", seed=1, steps=30, width=1024, height=1024,
+                   cfg_scale=7.0, sampler_name="DPM++ 2M", scheduler="karras",
+                   batch_size=2)
+    p50, _, _ = _measure(eng, p, runs=2)
+    return {"sdxl_batch2_images_per_s": round(2.0 / p50, 4),
+            "sdxl_batch2_p50_s": round(p50, 4)}
+
+
+def config3():
+    """SDXL + LoRA + ControlNet-canny img2img with inpaint mask."""
+    import os
+    import tempfile
+
+    from forge_tpu.core.save import save_safetensors
+    from forge_tpu.core.synth import synth_controlnet_sd, synth_sdxl_checkpoint
+    from forge_tpu.core.state_dict import transform_for_jax
+    from forge_tpu.core.tree import nest
+    from forge_tpu.models.controlnet import ControlNetState
+    from forge_tpu.models.unet import UNetConfig
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.extra_networks import LoraRegistry
+    from forge_tpu.pipeline.processing import Processing
+    from forge_tpu.preprocessors.cv import canny
+
+    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+
+    # synthetic rank-16 LoRA over the level-1 attn projections
+    rank, rng = 16, np.random.default_rng(0)
+    lora_sd = {}
+    for blk in ("input_blocks_4_1", "input_blocks_5_1", "output_blocks_3_1"):
+        for proj, dim in (("to_q", 640), ("to_k", 640), ("to_v", 640)):
+            base = f"lora_unet_{blk}_transformer_blocks_0_attn1_{proj}"
+            lora_sd[base + ".lora_up.weight"] = (
+                rng.standard_normal((dim, rank)) * 0.01).astype(np.float32)
+            lora_sd[base + ".lora_down.weight"] = (
+                rng.standard_normal((rank, dim)) * 0.01).astype(np.float32)
+            lora_sd[base + ".alpha"] = np.asarray(rank, np.float32)
+    tmp = tempfile.mkdtemp()
+    save_safetensors(lora_sd, os.path.join(tmp, "bench.safetensors"))
+    eng.lora_registry = LoraRegistry([tmp])
+
+    cn = nest(transform_for_jax(synth_controlnet_sd(fill="zeros")))
+    init = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.uint8)
+    hint = canny(init)[None].astype(np.float32) / 255.0
+    mask = np.zeros((1024, 1024), np.float32)
+    mask[256:768, 256:768] = 1.0
+
+    p = Processing(prompt="a castle <lora:bench:0.8>", seed=1, steps=20,
+                   width=1024, height=1024, cfg_scale=7.0,
+                   sampler_name="DPM++ 2M", scheduler="karras",
+                   init_images=[init], denoising_strength=0.6,
+                   inpaint_mask=mask)
+    p.controlnets = [ControlNetState(
+        params=cn, hint=np.asarray(hint), strength=1.0,
+        cfg=UNetConfig(context_dim=2048, num_heads=10), digest="benchcn")]
+    p50, compile_s, _ = _measure(eng, p, runs=2)
+    return {"sdxl_lora_cn_inpaint_20step_p50_s": round(p50, 4),
+            "sdxl_lora_cn_inpaint_images_per_s": round(1.0 / p50, 4),
+            "config3_compile_s": round(compile_s, 1)}
+
+
+def config4():
+    """Flux-dev-size quantized txt2img: NF4 and GGUF Q4_0 fused-dequant."""
+    from forge_tpu.core.synth import (synth_clip_sd, synth_flux_sd,
+                                      synth_t5_sd, synth_vae_sd)
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.processing import Processing
+
+    out = {}
+    steps = 4  # s/step is the metric; 4 steps bounds wall time
+    for kind in ("nf4", "q4_0"):
+        sd = {}
+        sd.update(synth_flux_sd(fill="zeros"))
+        sd.update(synth_vae_sd(fill="zeros"))
+        sd.update(synth_clip_sd(fill="zeros", prefix="text_encoders.clip_l.transformer."))
+        sd.update(synth_t5_sd(fill="zeros"))
+        eng = load_engine(sd, unet_quant=kind)
+        p = Processing(prompt="bench", seed=1, steps=steps, width=1024,
+                       height=1024, cfg_scale=1.0, sampler_name="Euler",
+                       scheduler="simple", distilled_cfg_scale=3.5)
+        p50, compile_s, _ = _measure(eng, p, runs=2)
+        out[f"flux_{kind}_s_per_step"] = round(p50 / steps, 3)
+        out[f"flux_{kind}_1024_p50_s_{steps}step"] = round(p50, 3)
+        out[f"flux_{kind}_compile_s"] = round(compile_s, 1)
+        del eng
+    return out
+
+
+def config5():
+    """Batched multi-prompt serving with IP-Adapter, then MultiDiffusion
+    tiled 2× upscale of the first output."""
+    from forge_tpu.core.synth import synth_sdxl_checkpoint
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.ipadapter import IPAdapterState
+    from forge_tpu.pipeline.processing import Processing, process_images
+    from forge_tpu.runtime.serving import serve_throughput
+
+    import jax.numpy as jnp
+
+    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    rng = np.random.default_rng(0)
+
+    # synthetic IP-Adapter: attn2 K/V injection layers for the 640/1280 blocks
+    ip_layers = {}
+    for i in range(70):
+        dim = 2048
+        ip_layers[str(i * 2 + 1)] = {
+            "to_k_ip": {"weight": jnp.asarray(rng.standard_normal((640 if i < 8 else 1280, dim)) * 0.01, jnp.float32)},
+            "to_v_ip": {"weight": jnp.asarray(rng.standard_normal((640 if i < 8 else 1280, dim)) * 0.01, jnp.float32)},
         }
-        del engxl
-    except Exception as e:  # noqa: BLE001 — SDXL bench is best-effort
-        detail_xl = {"sdxl_error": str(e)[:200]}
+    # (projection already applied: 4 image tokens in cross-attn width)
+    ip_tokens = jnp.asarray(rng.standard_normal((1, 4, 2048)) * 0.1, jnp.float32)
 
+    def req(seed, prompt):
+        p = Processing(prompt=prompt, seed=seed, steps=20, width=1024,
+                       height=1024, cfg_scale=7.0, sampler_name="DPM++ 2M",
+                       scheduler="karras", batch_size=2)
+        state = IPAdapterState(params={"ip_adapter": ip_layers},
+                               ip_tokens=ip_tokens, weight=0.6)
+        p.unet_hooks = state.build_hooks()
+        return p
+
+    # warm compile
+    process_images(eng, req(1, "warm"))
+    t0 = time.time()
+    res = serve_throughput(eng, [req(s, f"prompt {s}") for s in (2, 3, 4)])
+    serve_s = time.time() - t0
+
+    # MultiDiffusion tiled 2× upscale of one image (img2img over a 2048² canvas
+    # denoised tile-wise, reference extensions-builtin/sd_forge_multidiffusion)
+    img = res["outputs"][0]["images"][0]
+    up = Processing(prompt="detailed", seed=9, steps=8, width=2048, height=2048,
+                    cfg_scale=7.0, sampler_name="Euler",
+                    init_images=[np.kron(img, np.ones((2, 2, 1))).astype(np.uint8)],
+                    denoising_strength=0.35)
+    up.tiled_diffusion = {"tile": 96, "overlap": 16}  # latent 256² canvas, 9 tiles
+    t0 = time.time()
+    process_images(eng, up)  # includes tile-program compile
+    md_first = time.time() - t0
+    t0 = time.time()
+    up.seed = 10
+    process_images(eng, up)
+    md_s = time.time() - t0
+    return {"serving_ipadapter_images_per_s": round(res["images_per_s"], 4),
+            "serving_ipadapter_wall_s": round(serve_s, 2),
+            "serving_n_images": res["n_images"],
+            "multidiffusion_2048_8step_s": round(md_s, 2),
+            "multidiffusion_first_s": round(md_first, 2)}
+
+
+def serve_bench():
+    """`bench.py --serve`: pipelined serving vs sequential on SDXL."""
+    from forge_tpu.core.synth import synth_sdxl_checkpoint
+    from forge_tpu.pipeline.engine import load_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+    from forge_tpu.runtime.serving import serve_throughput
+
+    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+
+    def req(seed):
+        return Processing(prompt=f"bench {seed}", seed=seed, steps=30,
+                          width=1024, height=1024, cfg_scale=7.0,
+                          sampler_name="DPM++ 2M", scheduler="karras")
+
+    process_images(eng, req(0))  # compile
+    t0 = time.time()
+    for s in (1, 2, 3, 4):
+        process_images(eng, req(s))
+    seq_s = time.time() - t0
+    res = serve_throughput(eng, [req(s) for s in (5, 6, 7, 8)])
+    return {"serve_sequential_images_per_s": round(4 / seq_s, 4),
+            "serve_pipelined_images_per_s": round(res["images_per_s"], 4),
+            "serve_speedup": round(res["images_per_s"] * seq_s / 4, 3)}
+
+
+CONFIGS = {"1": config1, "2": config2, "2b": config2b, "3": config3,
+           "4": config4, "5": config5, "serve": serve_bench}
+
+
+def _run_subprocess(name: str, timeout: int = 3600) -> dict:
+    try:
+        out = subprocess.run([sys.executable, __file__, "--config", name],
+                             capture_output=True, text=True, timeout=timeout)
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        return {f"config{name}_error":
+                (out.stderr.strip().splitlines() or ["no output"])[-1][:200]}
+    except Exception as e:  # noqa: BLE001 — configs are best-effort
+        return {f"config{name}_error": str(e)[:200]}
+
+
+def main():
+    if "--config" in sys.argv:
+        name = sys.argv[sys.argv.index("--config") + 1]
+        print("RESULT " + json.dumps(CONFIGS[name]()))
+        return 0
+    if "--serve" in sys.argv:
+        print(json.dumps(_run_subprocess("serve")))
+        return 0
+
+    import jax
+
+    detail = {"backend": jax.default_backend()}
+    for name in ("2b", "1", "2", "3", "4", "5"):
+        detail.update(_run_subprocess(name))
+
+    p50 = detail.get("sd15_512_p50_s")
     target = 1.0  # BASELINE.json: SD1.5 512² < 1 s p50 on v5e
     result = {
         "metric": "sd15_512_eulera_20step_p50_latency",
-        "value": round(sd15_p50, 4),
+        "value": p50,
         "unit": "s",
-        "vs_baseline": round(target / sd15_p50, 3),
-        "detail": {
-            "sd15_steps_per_s": round(20 / sd15_p50, 2),
-            "sd15_images_per_s": round(1.0 / sd15_p50, 4),
-            "sd15_compile_s": round(sd15_compile, 1),
-            "sd15_latencies": [round(x, 4) for x in sd15_lat],
-            "backend": jax.default_backend(),
-            **detail_xl,
-            **batch_detail,
-        },
+        "vs_baseline": round(target / p50, 3) if p50 else None,
+        "detail": detail,
     }
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

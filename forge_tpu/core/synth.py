@@ -495,3 +495,50 @@ def synth_chroma_sd(
     sd[g + "out_proj.weight"] = f.w(hidden, approx_hidden)
     sd[g + "out_proj.bias"] = f.zeros(hidden)
     return sd
+
+
+def synth_controlnet_sd(
+    model_channels: int = 320,
+    channel_mult: Sequence[int] = (1, 2, 4),
+    num_res_blocks: int = 2,
+    transformer_depth: Sequence[int] = (0, 2, 10),
+    context_dim: int = 2048,
+    adm_in_channels: Optional[int] = 2816,
+    fill: str = "zeros",
+    seed: int = 7,
+) -> Dict[str, np.ndarray]:
+    """Full-size cldm ControlNet state dict (SDXL geometry by default):
+    the UNet encoder copy + zero convs + canonical 8-conv hint ladder
+    (reference backend/nn/cnets/cldm.py:7 ControlNet.__init__)."""
+    f = _Fill(fill, seed)
+    sd = {
+        k: v for k, v in synth_unet_sd(
+            model_channels=model_channels, channel_mult=channel_mult,
+            num_res_blocks=num_res_blocks, transformer_depth=transformer_depth,
+            context_dim=context_dim, adm_in_channels=adm_in_channels,
+            fill=fill, seed=seed, prefix="",
+        ).items()
+        if k.startswith(("time_embed", "label_emb", "input_blocks", "middle_block"))
+    }
+
+    def conv(key, o, i, k=3):
+        sd[key + ".weight"] = f.w(o, i, k, k)
+        sd[key + ".bias"] = f.zeros(o)
+
+    # per-input-block output channels: conv_in, then res blocks + downsamples
+    chans = [model_channels]
+    ch = model_channels
+    for li, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            ch = model_channels * mult
+            chans.append(ch)
+        if li != len(channel_mult) - 1:
+            chans.append(ch)  # downsample block keeps channels
+    for i, c in enumerate(chans):
+        conv(f"zero_convs.{i}.0", c, c, 1)
+    conv("middle_block_out.0", ch, ch, 1)
+    ladder = [(16, 3, 1), (16, 16, 1), (32, 16, 2), (32, 32, 1),
+              (96, 32, 2), (96, 96, 1), (256, 96, 2), (model_channels, 256, 1)]
+    for pos, (o, i, _s) in enumerate(ladder):
+        conv(f"input_hint_block.{pos * 2}", o, i)
+    return sd

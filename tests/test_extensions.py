@@ -482,3 +482,25 @@ def test_hypernetwork_apply(engine):
     attach_hn(p0, hn0)
     out0 = process_images(engine, p0).images[0]
     assert np.array_equal(base, out0)
+
+
+def test_tiled_diffusion_pipeline_wiring():
+    """p.tiled_diffusion routes the denoiser through MultiDiffusion tiling
+    inside the compiled loop (the reference sd_forge_multidiffusion path)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_tiny_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+
+    eng = make_tiny_engine()
+    base = process_images(eng, Processing(prompt="x", seed=5, steps=2,
+                                          width=64, height=64, sampler_name="Euler"))
+    p = Processing(prompt="x", seed=5, steps=2, width=64, height=64,
+                   sampler_name="Euler")
+    p.tiled_diffusion = {"tile": 6, "overlap": 2}
+    tiled = process_images(eng, p)
+    assert tiled.images[0].shape == base.images[0].shape
+    # tiling changes the denoiser's receptive field → different image
+    assert not np.array_equal(base.images[0], tiled.images[0])
+    assert "Tiled Diffusion" in tiled.infotexts[0]

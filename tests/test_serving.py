@@ -1,0 +1,36 @@
+"""Queue-driven serving pipeline: output parity with process_images and
+pipelined multi-request operation (VERDICT r2 next #2)."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+
+from fixtures import make_tiny_engine
+from forge_tpu.pipeline.processing import Processing, process_images
+from forge_tpu.runtime.serving import ServingPipeline, serve_throughput
+
+
+def _p(seed):
+    return Processing(prompt="a cat", negative_prompt="bad", seed=seed,
+                      steps=2, width=32, height=32, sampler_name="Euler")
+
+
+def test_serving_matches_process_images():
+    eng = make_tiny_engine()
+    ref = process_images(eng, _p(7)).images[0]
+    out = serve_throughput(eng, [_p(7)])
+    assert out["n_images"] == 1
+    assert np.array_equal(ref, out["outputs"][0]["images"][0])
+
+
+def test_serving_pipelines_multiple_requests():
+    eng = make_tiny_engine()
+    res = serve_throughput(eng, [_p(1), _p(2), _p(3)])
+    assert res["n_images"] == 3
+    imgs = [o["images"][0] for o in res["outputs"]]
+    assert not np.array_equal(imgs[0], imgs[1])  # seeds differ
+    # same-seed replay through the pipeline is deterministic
+    res2 = serve_throughput(eng, [_p(1)])
+    assert np.array_equal(imgs[0], res2["outputs"][0]["images"][0])
