@@ -120,6 +120,10 @@ class ControlNetState:
     # stable content token for jit-cache keys (core/digest.py): set to the
     # checkpoint hash + hint hash at load; None falls back to a slow walk
     digest: Optional[str] = None
+    # InstantID coupling: replaces the text cross-attn context fed to THIS
+    # ControlNet with image-prompt tokens [2B, n, ctx] (cond‖uncond — the
+    # reference's controlnet_conditioning_modifier c_crossattn swap)
+    context_override: Optional[jax.Array] = None
 
 
 def run_controlnets(
@@ -139,7 +143,13 @@ def run_controlnets(
         if hasattr(st, "features"):  # T2IAdapterState: hint-only, precomputed
             out = st.features()
         else:
-            out = controlnet_apply(st.params, x, st.hint, timesteps, context, y=y, cfg=st.cfg)
+            ctx = context
+            override = getattr(st, "context_override", None)
+            if override is not None:
+                ctx = override.astype(context.dtype)
+                if ctx.shape[0] != x.shape[0]:  # skip-uncond: cond half only
+                    ctx = ctx[: x.shape[0]]
+            out = controlnet_apply(st.params, x, st.hint, timesteps, ctx, y=y, cfg=st.cfg)
         active = jnp.logical_and(
             sigma_frac >= st.start_percent, sigma_frac <= st.end_percent
         ).astype(x.dtype)

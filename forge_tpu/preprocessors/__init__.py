@@ -159,3 +159,19 @@ try:  # noqa: SIM105
     from . import hed  # noqa: F401
 except Exception:  # pragma: no cover
     pass
+try:  # noqa: SIM105
+    from . import lineart  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import pidinet  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import mlsd  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import depth_anything  # noqa: F401
+except Exception:  # pragma: no cover
+    pass

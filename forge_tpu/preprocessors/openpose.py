@@ -93,6 +93,47 @@ def body_apply(params: Mapping[str, Any], x: jax.Array) -> Tuple[jax.Array, jax.
     return l1, l2
 
 
+def hand_apply(params: Mapping[str, Any], x: jax.Array) -> jax.Array:
+    """CPM hand net (reference annotator/openpose/model.py:143
+    handpose_model): VGG trunk → 22-map stage, 5 refinement stages over
+    cat(out, trunk). x [B,H,W,3] (value/256 − 0.5) → [B,H/8,W/8,22]."""
+    plan = []
+    for group, n in (("conv1", 2), ("conv2", 2), ("conv3", 4)):
+        plan += [(f"{group}_{i}", 1, True) for i in range(1, n + 1)]
+        plan.append(("pool", 0, False))
+    plan += [(f"conv4_{i}", 1, True) for i in range(1, 5)]
+    plan += [("conv5_1", 1, True), ("conv5_2", 1, True), ("conv5_3_CPM", 1, True)]
+    trunk = _seq(params["model1_0"], x, plan)
+    out = _seq(params["model1_1"], trunk,
+               [("conv6_1_CPM", 0, True), ("conv6_2_CPM", 0, False)])
+    for s in range(2, 7):
+        cat = jnp.concatenate([out, trunk], axis=-1)
+        names = [(f"Mconv{i}_stage{s}", 3, True) for i in range(1, 6)]
+        names += [(f"Mconv6_stage{s}", 0, True), (f"Mconv7_stage{s}", 0, False)]
+        out = _seq(params[f"model{s}"], cat, names)
+    return out
+
+
+def face_apply(params: Mapping[str, Any], x: jax.Array) -> jax.Array:
+    """CPM face net (reference annotator/openpose/face.py:12 FaceNet):
+    VGG trunk → 71-map stage, 5 refinement stages over cat(out, trunk).
+    x [B,H,W,3] (value/256 − 0.5) → [B,H/8,W/8,71]."""
+    plan = []
+    for group, n in (("conv1", 2), ("conv2", 2), ("conv3", 4)):
+        plan += [(f"{group}_{i}", 1, True) for i in range(1, n + 1)]
+        plan.append(("pool", 0, False))
+    plan += [(f"conv4_{i}", 1, True) for i in range(1, 5)]
+    plan += [("conv5_1", 1, True), ("conv5_2", 1, True), ("conv5_3_CPM", 1, True)]
+    trunk = _seq(params, x, plan)
+    out = _seq(params, trunk, [("conv6_1_CPM", 0, True), ("conv6_2_CPM", 0, False)])
+    for s in range(2, 7):
+        h = jnp.concatenate([out, trunk], axis=-1)
+        names = [(f"Mconv{i}_stage{s}", 3, True) for i in range(1, 6)]
+        names += [(f"Mconv6_stage{s}", 0, True), (f"Mconv7_stage{s}", 0, False)]
+        out = _seq(params, h, names)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # PAF postprocessing (numpy)
 
@@ -231,11 +272,124 @@ def draw_bodypose(canvas_hw: Tuple[int, int], candidate: np.ndarray,
     return canvas
 
 
+def person_keypoints(candidate: np.ndarray, subset: np.ndarray):
+    """subset rows → per-person lists of 18 (x, y) tuples or None."""
+    people = []
+    for person in subset:
+        kps = []
+        for part in range(18):
+            idx = int(person[part])
+            kps.append(None if idx < 0 else (float(candidate[idx, 0]),
+                                             float(candidate[idx, 1])))
+        people.append(kps)
+    return people
+
+
+def hand_boxes(kps, img_h: int, img_w: int):
+    """Hand square boxes from body keypoints (reference util.py:230
+    handDetect: wrist extended by 0.33·(wrist−elbow), width 1.5·max(|we|,
+    0.9·|es|), clamped, ≥20 px). → [(x, y, w, is_left), ...]"""
+    out = []
+    for sh_i, el_i, wr_i, is_left in ((5, 6, 7, True), (2, 3, 4, False)):
+        if any(kps[i] is None for i in (sh_i, el_i, wr_i)):
+            continue
+        (x1, y1), (x2, y2), (x3, y3) = kps[sh_i], kps[el_i], kps[wr_i]
+        x = x3 + 0.33 * (x3 - x2)
+        y = y3 + 0.33 * (y3 - y2)
+        width = 1.5 * max(np.hypot(x3 - x2, y3 - y2),
+                          0.9 * np.hypot(x2 - x1, y2 - y1))
+        x, y = max(x - width / 2, 0), max(y - width / 2, 0)
+        width = min(width, img_w - x, img_h - y)
+        if width >= 20:
+            out.append((int(x), int(y), int(width), is_left))
+    return out
+
+
+def face_box(kps, img_h: int, img_w: int):
+    """Face square box from nose/eyes/ears (reference util.py:324
+    faceDetect). → (x, y, w) or None."""
+    head = kps[0]
+    feats = [kps[i] for i in (14, 15, 16, 17)]
+    if head is None or all(f is None for f in feats):
+        return None
+    x0, y0 = head
+    width = 0.0
+    for f, mult in zip(feats, (3.0, 3.0, 1.5, 1.5)):
+        if f is not None:
+            width = max(width, max(abs(x0 - f[0]), abs(y0 - f[1])) * mult)
+    x, y = max(x0 - width, 0), max(y0 - width, 0)
+    width = min(width * 2, img_w - x, img_h - y)
+    return (int(x), int(y), int(width)) if width >= 20 else None
+
+
+def hand_peaks_from_heatmap(heat: np.ndarray, crop_h: int, crop_w: int,
+                            thre: float = 0.05):
+    """128² averaged hand heatmaps → 21 (x, y) peaks in crop coordinates
+    (reference hand.py:64-83: gaussian σ3, largest connected component,
+    argmax), (0,0) marking a miss."""
+    from scipy.ndimage import gaussian_filter, label
+
+    wsize = heat.shape[0]
+    peaks = []
+    for part in range(21):
+        m = heat[:, :, part].copy()
+        sm = gaussian_filter(m, sigma=3)
+        binary = sm > thre
+        if not binary.any():
+            peaks.append((0, 0))
+            continue
+        lab, n = label(binary)
+        sums = [m[lab == i].sum() for i in range(1, n + 1)]
+        keep = int(np.argmax(sums)) + 1
+        m[lab != keep] = 0
+        y, x = np.unravel_index(np.argmax(m), m.shape)
+        peaks.append((int(x * crop_w / wsize), int(y * crop_h / wsize)))
+    return peaks
+
+
+HAND_EDGES = [[0, 1], [1, 2], [2, 3], [3, 4], [0, 5], [5, 6], [6, 7], [7, 8],
+              [0, 9], [9, 10], [10, 11], [11, 12], [0, 13], [13, 14],
+              [14, 15], [15, 16], [0, 17], [17, 18], [18, 19], [19, 20]]
+
+
+def draw_handpose(canvas: np.ndarray, peaks, ox: int, oy: int) -> np.ndarray:
+    """HSV-per-edge hand skeleton (reference util.py:142)."""
+    import colorsys
+
+    import cv2
+
+    for ie, (a, b) in enumerate(HAND_EDGES):
+        (xa, ya), (xb, yb) = peaks[a], peaks[b]
+        if min(xa, ya, xb, yb) <= 0:
+            continue
+        rgb = colorsys.hsv_to_rgb(ie / len(HAND_EDGES), 1.0, 1.0)
+        cv2.line(canvas, (ox + xa, oy + ya), (ox + xb, oy + yb),
+                 tuple(int(c * 255) for c in rgb), 2)
+    for x, y in peaks:
+        if x > 0 and y > 0:
+            cv2.circle(canvas, (ox + x, oy + y), 4, (0, 0, 255), thickness=-1)
+    return canvas
+
+
+def draw_facepose(canvas: np.ndarray, peaks, ox: int, oy: int) -> np.ndarray:
+    """White landmark dots (reference util.py:193)."""
+    import cv2
+
+    for x, y in peaks:
+        if x > 0 and y > 0:
+            cv2.circle(canvas, (ox + x, oy + y), 3, (255, 255, 255), thickness=-1)
+    return canvas
+
+
 class OpenposeDetector:
     def __init__(self, model_dir: str = "models/openpose"):
         self.model_dir = model_dir
         self.params: Optional[Dict[str, Any]] = None
         self._jit = None
+        self.hand_params: Optional[Dict[str, Any]] = None
+        self._hand_jit = None
+        self.face_params: Optional[Dict[str, Any]] = None
+        self._face_jit = None
 
     @property
     def available(self) -> bool:
@@ -260,11 +414,89 @@ class OpenposeDetector:
         sd = load_state_dict(os.path.join(self.model_dir, cands[0]))
         self.params = nest({k: jnp.asarray(v)
                             for k, v in transform_for_jax(sd).items()})
-        self._jit = jax.jit(lambda t: body_apply(self.params, t))
+        self._jit = jax.jit(body_apply)
 
-    def detect(self, img: np.ndarray) -> np.ndarray:
+    def _load_extra(self, tag: str):
+        """Load the hand/face CPM checkpoints lazily (hand_pose_model.pth,
+        facenet.pth under the same model dir)."""
+        attr = f"{tag}_params"
+        if getattr(self, attr) is not None or not os.path.isdir(self.model_dir):
+            return
+        cands = [f for f in sorted(os.listdir(self.model_dir))
+                 if tag in f.lower() and f.endswith((".pth", ".pt", ".safetensors"))]
+        if not cands:
+            return
+        from ..core.state_dict import load_state_dict, transform_for_jax
+        from ..core.tree import nest
+
+        sd = load_state_dict(os.path.join(self.model_dir, cands[0]))
+        setattr(self, attr, nest({k: jnp.asarray(v)
+                                  for k, v in transform_for_jax(sd).items()}))
+        if tag == "hand":
+            self._hand_jit = jax.jit(hand_apply)
+        else:
+            self._face_jit = jax.jit(face_apply)
+
+    @property
+    def hand_available(self) -> bool:
+        self._load_extra("hand")
+        return self.hand_params is not None
+
+    @property
+    def face_available(self) -> bool:
+        self._load_extra("face")
+        return self.face_params is not None
+
+    def _detect_hands(self, img: np.ndarray, kps, canvas: np.ndarray):
+        """Crop per handDetect box, run the hand CPM at two fixed scales
+        (184/368 — static shapes for XLA; the reference sweeps four dynamic
+        scales, hand.py:26), average 128² heatmaps, draw."""
+        import cv2
+
+        h, w = img.shape[:2]
+        for x0, y0, bw, _is_left in hand_boxes(kps, h, w):
+            crop = img[y0:y0 + bw, x0:x0 + bw]
+            heat = np.zeros((128, 128, 22), np.float32)
+            scales = (184, 368)
+            for s in scales:
+                feed = cv2.resize(crop, (s, s), interpolation=cv2.INTER_CUBIC)
+                out = self._hand_jit(self.hand_params,
+                                     jnp.asarray(feed[None].astype(np.float32) / 256.0 - 0.5))
+                hm = cv2.resize(np.asarray(out[0], np.float32), (128, 128),
+                                interpolation=cv2.INTER_CUBIC)
+                heat += hm / len(scales)
+            peaks = hand_peaks_from_heatmap(heat, bw, bw)
+            draw_handpose(canvas, peaks, x0, y0)
+
+    def _detect_face(self, img: np.ndarray, kps, canvas: np.ndarray):
+        """Crop per faceDetect box, run the face CPM at 384² (reference
+        face.py:331), take per-part argmax over threshold, draw."""
+        import cv2
+
+        h, w = img.shape[:2]
+        box = face_box(kps, h, w)
+        if box is None:
+            return
+        x0, y0, bw = box
+        crop = img[y0:y0 + bw, x0:x0 + bw]
+        feed = cv2.resize(crop, (384, 384), interpolation=cv2.INTER_CUBIC)
+        out = self._face_jit(self.face_params,
+                             jnp.asarray(feed[None].astype(np.float32) / 256.0 - 0.5))
+        heat = cv2.resize(np.asarray(out[0], np.float32), (bw, bw),
+                          interpolation=cv2.INTER_CUBIC)
+        peaks = []
+        for part in range(70):
+            m = heat[:, :, part]
+            if (m > 0.05).any():
+                y, x = np.unravel_index(np.argmax(np.where(m > 0.05, m, 0)), m.shape)
+                peaks.append((int(x), int(y)))
+        draw_facepose(canvas, peaks, x0, y0)
+
+    def detect(self, img: np.ndarray, include_hand: bool = False,
+               include_face: bool = False, include_body: bool = True) -> np.ndarray:
         """uint8 [H,W,3] → pose map uint8 [H,W,3] (reference body.py __call__
-        at scale 0.5·368/H, stride-8 upsample back)."""
+        at scale 0.5·368/H, stride-8 upsample back; openpose_full adds the
+        hand + face CPMs on body-derived crops, __init__.py:415)."""
         import cv2
 
         self.load()
@@ -277,7 +509,7 @@ class OpenposeDetector:
         ph, pw = (-sh) % 8, (-sw) % 8
         padded = np.pad(small, ((0, ph), (0, pw), (0, 0)), constant_values=128)
         x = jnp.asarray(padded[None].astype(np.float32) / 256.0 - 0.5)
-        paf, heat = self._jit(x)
+        paf, heat = self._jit(self.params, x)
         paf = cv2.resize(np.asarray(paf[0], np.float32), (w, h),
                          interpolation=cv2.INTER_CUBIC)
         heat = cv2.resize(np.asarray(heat[0], np.float32), (w, h),
@@ -285,7 +517,15 @@ class OpenposeDetector:
         peaks = find_peaks(heat)
         conns = match_limbs(paf, peaks, h)
         candidate, subset = assemble_people(peaks, conns)
-        return draw_bodypose((h, w), candidate, subset)
+        canvas = (draw_bodypose((h, w), candidate, subset) if include_body
+                  else np.zeros((h, w, 3), np.uint8))
+        if include_hand and self.hand_available:
+            for kps in person_keypoints(candidate, subset):
+                self._detect_hands(img, kps, canvas)
+        if include_face and self.face_available:
+            for kps in person_keypoints(candidate, subset):
+                self._detect_face(img, kps, canvas)
+        return canvas
 
 
 _DETECTOR: Optional[OpenposeDetector] = None
@@ -298,20 +538,37 @@ def get_openpose() -> OpenposeDetector:
     return _DETECTOR
 
 
-def _openpose(img, res, a, b):
-    from .cv import resize_image
+def _make_openpose(hand: bool, face: bool, body: bool = True):
+    def call(img, res, a, b):
+        from .cv import resize_image
 
-    det = get_openpose()
-    out = det.detect(resize_image(img, res))
-    return np.asarray(out, np.float32) / 255.0
+        out = get_openpose().detect(resize_image(img, res), include_hand=hand,
+                                    include_face=face, include_body=body)
+        return np.asarray(out, np.float32) / 255.0
+
+    return call
 
 
 def _register():
     from . import Preprocessor, register
 
-    if get_openpose().available:
-        register(Preprocessor("openpose", _openpose, tags=("OpenPose",)),
-                 aliases=("openpose_full", "openpose (body)"))
+    det = get_openpose()
+    if not det.available:
+        return
+    register(Preprocessor("openpose", _make_openpose(False, False),
+                          tags=("OpenPose",)), aliases=("openpose (body)",))
+    if det.hand_available:
+        register(Preprocessor("openpose_hand", _make_openpose(True, False),
+                              tags=("OpenPose",)))
+    if det.face_available:
+        register(Preprocessor("openpose_face", _make_openpose(False, True),
+                              tags=("OpenPose",)))
+        register(Preprocessor("openpose_faceonly",
+                              _make_openpose(False, True, body=False),
+                              tags=("OpenPose",)))
+    if det.hand_available and det.face_available:
+        register(Preprocessor("openpose_full", _make_openpose(True, True),
+                              tags=("OpenPose",)))
 
 
 _register()

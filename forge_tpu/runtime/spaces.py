@@ -60,9 +60,11 @@ class ForgeSpace:
         if not self.installed:
             raise RuntimeError(f"space {self.name!r} has no forge_app.py")
         port = find_free_port(host)
+        # absolute script path: the child's cwd IS root_path, so a relative
+        # path would resolve inside itself and exit 2 (file not found)
+        app = os.path.abspath(os.path.join(self.root_path, "forge_app.py"))
         self.proc = subprocess.Popen(
-            [sys.executable, os.path.join(self.root_path, "forge_app.py"),
-             "--host", host, "--port", str(port)],
+            [sys.executable, app, "--host", host, "--port", str(port)],
             cwd=self.root_path,
         )
         self.url = f"http://{host}:{port}"

@@ -2,6 +2,7 @@
 space_meta.json dirs, subprocess launch on a free port, terminate."""
 
 import json
+import numpy as np
 import os
 import textwrap
 import urllib.request
@@ -91,3 +92,98 @@ def test_structured_logging(tmp_path):
     flog.log_event("y")
     assert (tmp_path / "ev.jsonl.1").exists()
     flog.configure("logs/events.jsonl")  # restore default for other tests
+
+
+def _tiny_u2net_sd(mid=4, ch=8):
+    """Scaled-down published U²-Net topology (depths 7,6,5,4,4F,4F)."""
+    r = np.random.default_rng(0)
+    sd = {}
+
+    def conv(key, o, i, k=3):
+        sd[key + ".conv_s1.weight"] = (r.standard_normal((o, i, k, k)) * 0.2).astype(np.float32)
+        sd[key + ".conv_s1.bias"] = np.zeros(o, np.float32)
+        sd[key + ".bn_s1.weight"] = np.ones(o, np.float32)
+        sd[key + ".bn_s1.bias"] = np.zeros(o, np.float32)
+        sd[key + ".bn_s1.running_mean"] = np.zeros(o, np.float32)
+        sd[key + ".bn_s1.running_var"] = np.ones(o, np.float32)
+
+    def rsu(name, depth, cin, cout):
+        conv(f"{name}.rebnconvin", cout, cin)
+        conv(f"{name}.rebnconv1", mid, cout)
+        for i in range(2, depth + 1):
+            conv(f"{name}.rebnconv{i}", mid, mid)
+        for i in range(depth - 1, 1, -1):
+            conv(f"{name}.rebnconv{i}d", mid, mid * 2)
+        conv(f"{name}.rebnconv1d", cout, mid * 2)
+
+    depths = {"stage1": 7, "stage2": 6, "stage3": 5, "stage4": 4,
+              "stage5": 4, "stage6": 4}
+    rsu("stage1", 7, 3, ch)
+    for s in ("stage2", "stage3", "stage4", "stage5", "stage6"):
+        rsu(s, depths[s], ch, ch)
+    for s, d in (("stage5d", 4), ("stage4d", 4), ("stage3d", 5),
+                 ("stage2d", 6), ("stage1d", 7)):
+        rsu(s, d, ch * 2, ch)
+    for i in range(1, 7):
+        sd[f"side{i}.weight"] = (r.standard_normal((1, ch, 3, 3)) * 0.2).astype(np.float32)
+        sd[f"side{i}.bias"] = np.zeros(1, np.float32)
+    sd["outconv.weight"] = (r.standard_normal((1, 6, 1, 1)) * 0.2).astype(np.float32)
+    sd["outconv.bias"] = np.zeros(1, np.float32)
+    return sd
+
+
+def test_u2net_apply_shapes():
+    import jax.numpy as jnp
+
+    from forge_tpu.core.state_dict import transform_for_jax
+    from forge_tpu.core.tree import nest
+    from forge_tpu.models.u2net import u2net_apply
+
+    params = nest({k: jnp.asarray(v)
+                   for k, v in transform_for_jax(_tiny_u2net_sd()).items()})
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 64, 64, 3)),
+                    jnp.float32)
+    out = np.asarray(u2net_apply(params, x))
+    assert out.shape == (1, 64, 64, 1)
+    assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
+
+
+def test_birefnet_space_end_to_end(tmp_path):
+    """The bundled space launches through the SpaceManager lifecycle and
+    serves a cutout for a synthetic checkpoint (VERDICT r2 next #8)."""
+    import base64
+    import io
+    import json as _json
+    import urllib.request
+
+    from PIL import Image
+
+    from forge_tpu.core.save import save_safetensors
+
+    model_dir = tmp_path / "u2net"
+    model_dir.mkdir()
+    save_safetensors(_tiny_u2net_sd(), str(model_dir / "u2netp.safetensors"))
+
+    os.environ["U2NET_MODEL_DIR"] = str(model_dir)
+    try:
+        mgr = SpaceManager(["extensions-builtin"])
+        assert "forge_space_birefnet" in mgr.spaces
+        url = mgr.launch("forge_space_birefnet")
+        # UI page serves
+        page = urllib.request.urlopen(url, timeout=10).read().decode()
+        assert "Remove Background" in page
+        # process round-trip: synthetic image → RGBA cutout
+        img = Image.fromarray(np.full((48, 40, 3), 200, np.uint8))
+        buf = io.BytesIO(); img.save(buf, format="PNG")
+        req = urllib.request.Request(
+            url + "/process",
+            data=_json.dumps({"image": base64.b64encode(buf.getvalue()).decode(),
+                              "size": 64}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=300).read())
+        cut = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+        assert cut.mode == "RGBA" and cut.size == (40, 48)
+        mgr.terminate_all()
+        assert not mgr.spaces["forge_space_birefnet"].running
+    finally:
+        os.environ.pop("U2NET_MODEL_DIR", None)
