@@ -116,6 +116,52 @@ def _threshold(img, res, a, b):
     return np.repeat(g[..., None], 3, axis=2)
 
 
+def _recolor_luminance(img, res, a, b):
+    """LAB L-channel re-color map (reference preprocessor.py:652 — which
+    applies COLOR_BGR2LAB to the RGB array; reproduced for parity)."""
+    import cv2
+
+    g = float(a) if a else 1.0
+    lab = cv2.cvtColor(resize_image(img, res), cv2.COLOR_BGR2LAB)
+    out = np.power(lab[:, :, 0].astype(np.float32) / 255.0, g)
+    return np.repeat(out[..., None], 3, axis=2)
+
+
+def _recolor_intensity(img, res, a, b):
+    import cv2
+
+    g = float(a) if a else 1.0
+    hsv = cv2.cvtColor(resize_image(img, res), cv2.COLOR_BGR2HSV)
+    out = np.power(hsv[:, :, 2].astype(np.float32) / 255.0, g)
+    return np.repeat(out[..., None], 3, axis=2)
+
+
+def _color_grid(img, res, a, b):
+    """T2I color-adapter palette grid: 64× down then nearest re-up
+    (reference annotator/color/__init__.py apply_color)."""
+    import cv2
+
+    img = resize_image(img, res)
+    h, w = img.shape[:2]
+    small = cv2.resize(img, (max(w // 64, 1), max(h // 64, 1)),
+                       interpolation=cv2.INTER_CUBIC)
+    out = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+    return _to_float(out)
+
+
+def _binary(img, res, a, b):
+    """Inverted binary threshold; 0/255 → Otsu (reference annotator/binary)."""
+    import cv2
+
+    gray = cv2.cvtColor(resize_image(img, res), cv2.COLOR_RGB2GRAY)
+    thr = int(a) if a else 0
+    if thr in (0, 255):
+        _, out = cv2.threshold(gray, 0, 255, cv2.THRESH_BINARY_INV + cv2.THRESH_OTSU)
+    else:
+        _, out = cv2.threshold(gray, thr, 255, cv2.THRESH_BINARY_INV)
+    return np.repeat(out[..., None].astype(np.float32) / 255.0, 3, axis=2)
+
+
 def _tile_resample(img, res, a, b):
     down = max(float(a), 1.0) if a else 1.0
     h, w = img.shape[:2]
@@ -145,6 +191,18 @@ register(Preprocessor(
 register(Preprocessor(
     "tile_resample", _tile_resample, slider_a=("Down Sampling Rate", 1.0, 8.0, 1.0),
     tags=("Tile",)))
+register(Preprocessor(
+    "recolor_luminance", _recolor_luminance,
+    slider_a=("Gamma Correction", 0.1, 2.0, 1.0), tags=("Recolor",)))
+register(Preprocessor(
+    "recolor_intensity", _recolor_intensity,
+    slider_a=("Gamma Correction", 0.1, 2.0, 1.0), tags=("Recolor",)))
+register(Preprocessor("t2ia_color_grid", _color_grid, tags=("T2I-Adapter",)),
+         aliases=("color",))
+register(Preprocessor(
+    "threshold_binary", _binary,
+    slider_a=("Binary Threshold", 0, 255, 0), tags=("Scribble",)),
+    aliases=("binary",))
 
 # model-based annotators self-register on import (kept lazy: weights optional)
 try:  # noqa: SIM105
@@ -173,5 +231,25 @@ except Exception:  # pragma: no cover
     pass
 try:  # noqa: SIM105
     from . import depth_anything  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import teed  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import manga_line  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import leres  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import dwpose  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:  # noqa: SIM105
+    from . import anime_face  # noqa: F401
 except Exception:  # pragma: no cover
     pass

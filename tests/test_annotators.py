@@ -5,6 +5,7 @@ import the reference module, run both, compare).
 Reference: extensions-builtin/forge_legacy_preprocessors/annotator/{lineart,
 lineart_anime,pidinet}."""
 
+import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -222,21 +223,26 @@ def test_depth_anything_synthetic():
     assert np.isfinite(depth).all() and (depth >= 0).all()
 
 
+def _stub_module(name, **attrs):
+    """Register a stub with a real __spec__ — a None __spec__ makes any later
+    importlib.util.find_spec(name) raise (see tests/test_gguf.py note)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
 def _load_openpose_ref(modname):
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tvt.ToTensor = tvt.ToPILImage = object
-        tv.transforms = tvt
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tvt
+        tvt = _stub_module("torchvision.transforms", ToTensor=object, ToPILImage=object)
+        _stub_module("torchvision", transforms=tvt)
     if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        skm = types.ModuleType("skimage.measure")
-        skm.label = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
-        sk.measure = skm
-        sys.modules["skimage"] = sk
-        sys.modules["skimage.measure"] = skm
+        skm = _stub_module(
+            "skimage.measure",
+            label=lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub")))
+        _stub_module("skimage", measure=skm)
     op_pkg = f"annotator.openpose"
     if op_pkg not in sys.modules:
         _load_ref_module("annotator/openpose/util.py", "annotator.openpose.util")
@@ -303,3 +309,211 @@ def test_hand_face_box_geometry():
     assert fb is not None
     # width = 2 · max over eyes/ears of max(|dx|,|dy|)·mult = 2·8·3
     assert abs(fb[2] - 48) <= 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+def test_teed_parity():
+    from forge_tpu.preprocessors.teed import teed_apply
+
+    _stub_module("annotator.util", load_model=lambda *a, **k: None,
+                 safe_step=lambda x, s=2: x)
+    teed_pkg = types.ModuleType("annotator.teed")
+    teed_pkg.__path__ = [os.path.join(REF, "annotator/teed")]
+    sys.modules["annotator.teed"] = teed_pkg
+    for sub in ("Fsmish", "Xsmish"):
+        _load_ref_module(f"annotator/teed/{sub}.py", f"annotator.teed.{sub}")
+    ref = _load_ref_module("annotator/teed/ted.py", "annotator.teed.ted")
+    torch.manual_seed(6)
+    net = ref.TED()
+    net.eval()
+    x = torch.rand(1, 3, 64, 64) * 255.0
+    with torch.no_grad():
+        outs = net(x)
+        stack = torch.stack([o[0, 0] for o in outs], dim=2).numpy()
+        want = 1.0 / (1.0 + np.exp(-stack.mean(axis=2, dtype=np.float64)))
+    got = np.asarray(teed_apply(_to_jax(net.state_dict()),
+                                jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))[0]
+    assert np.abs(want - got).max() < 1e-3, np.abs(want - got).max()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+def test_manga_line_parity():
+    from forge_tpu.preprocessors.manga_line import manga_line_apply
+
+    ref = _load_ref_module("annotator/manga_line/__init__.py", "ref_manga_line")
+    torch.manual_seed(7)
+    net = ref.res_skip()
+    net.eval()
+    x = torch.rand(1, 1, 64, 64) * 255.0
+    with torch.no_grad():
+        want = net(x).numpy()
+    got = np.asarray(manga_line_apply(_to_jax(net.state_dict()),
+                                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    got = got.transpose(0, 3, 1, 2)
+    assert want.shape == got.shape
+    assert np.abs(want - got).max() < 2e-2, np.abs(want - got).max()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+def test_leres_parity():
+    from forge_tpu.preprocessors.leres import leres_apply
+
+    leres_pkg = types.ModuleType("annotator.leres")
+    leres_pkg.__path__ = [os.path.join(REF, "annotator/leres")]
+    sys.modules["annotator.leres"] = leres_pkg
+    inner = types.ModuleType("annotator.leres.leres")
+    inner.__path__ = [os.path.join(REF, "annotator/leres/leres")]
+    sys.modules["annotator.leres.leres"] = inner
+    for sub in ("Resnet", "Resnext_torch", "net_tools", "network_auxi"):
+        _load_ref_module(f"annotator/leres/leres/{sub}.py",
+                         f"annotator.leres.leres.{sub}")
+        setattr(inner, sub, sys.modules[f"annotator.leres.leres.{sub}"])
+    net_mod = sys.modules["annotator.leres.leres.network_auxi"]
+    torch.manual_seed(8)
+
+    class DepthModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_modules = net_mod.resnext101_stride32x8d()
+            self.decoder_modules = net_mod.Decoder()
+
+        def forward(self, x):
+            return self.decoder_modules(self.encoder_modules(x))
+
+    class Rel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.depth_model = DepthModel()
+
+    net = Rel()
+    net.eval()
+    # randomize BN running stats so the test exercises them
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.1, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net.depth_model(x).numpy()
+    got = np.asarray(leres_apply(_to_jax(net.state_dict()),
+                                 jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    assert want.shape[2:] == got.shape[1:3]
+    assert np.abs(want[:, 0] - got).max() < 2e-3, np.abs(want[:, 0] - got).max()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+def test_dwpose_decode_parity():
+    """Numpy decode parity vs the reference's cv_ox_det/cv_ox_pose helpers
+    (the ONNX nets themselves are external checkpoints, loaded identically
+    via cv2.dnn)."""
+    from forge_tpu.preprocessors import dwpose as dw
+
+    det_ref = _load_ref_module("annotator/openpose/cv_ox_det.py", "ref_cv_ox_det")
+    pose_ref = _load_ref_module("annotator/openpose/cv_ox_pose.py", "ref_cv_ox_pose")
+    rng = np.random.default_rng(0)
+
+    # YOLOX grid decode
+    n_anchors = sum((640 // s) ** 2 for s in (8, 16, 32))
+    raw = rng.normal(size=(n_anchors, 6)).astype(np.float32)
+    want = det_ref.demo_postprocess(raw.copy()[None], (640, 640))[0]
+    got = dw._yolox_decode(raw.copy())
+    assert np.allclose(want, got, atol=1e-5)
+
+    # NMS
+    boxes = rng.uniform(0, 100, size=(40, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]
+    scores = rng.uniform(size=40).astype(np.float32)
+    assert dw._nms(boxes, scores, 0.45) == det_ref.nms(boxes, scores, 0.45)
+
+    # top-down affine crop
+    img = rng.integers(0, 255, size=(120, 160, 3)).astype(np.uint8)
+    box = np.asarray([20.0, 10.0, 90.0, 110.0])
+    want_imgs, want_c, want_s = pose_ref.preprocess(img, [box], (288, 384))
+    crop, center, scale = dw._affine_crop(img, box)
+    mean = np.array([123.675, 116.28, 103.53])
+    std = np.array([58.395, 57.12, 57.375])
+    assert np.allclose(want_c[0], center) and np.allclose(want_s[0], scale)
+    assert np.allclose(want_imgs[0], (crop - mean) / std, atol=1e-3)
+
+    # mmpose→openpose remap
+    kps = rng.uniform(0, 100, size=(2, 133, 2)).astype(np.float32)
+    scores = rng.uniform(size=(2, 133)).astype(np.float32)
+    info = dw.to_openpose_layout(kps, scores)
+    assert info.shape == (2, 134, 3)
+    # neck = mean of shoulders (mmpose 5,6), mapped to openpose index 1
+    assert np.allclose(info[:, 1, :2], kps[:, [5, 6]].mean(1))
+
+
+def test_cv_preprocessor_registry():
+    """Pure-CV annotators register and produce [h,w,3] float maps."""
+    from forge_tpu.preprocessors import get_preprocessor
+
+    img = np.random.default_rng(0).integers(0, 255, size=(80, 96, 3)).astype(np.uint8)
+    for name in ("recolor_luminance", "recolor_intensity", "t2ia_color_grid",
+                 "threshold_binary", "canny", "lineart_standard"):
+        out = get_preprocessor(name)(img, res=64)
+        assert out.ndim == 3 and out.shape[2] == 3, name
+        assert out.dtype == np.float32 and out.min() >= 0 and out.max() <= 1.0, name
+
+
+def test_anime_face_segment_synthetic():
+    """Structural test on a synthetic torchvision-MobileNetV2-layout
+    checkpoint (torchvision itself is not installed in this env, so the
+    reference UNet cannot be instantiated for parity): full encoder/decoder
+    wiring, softmax head, full-res output."""
+    from forge_tpu.preprocessors.anime_face import _EN_BLOCKS, _STRIDES, anime_face_apply
+
+    r = np.random.default_rng(0)
+    sd = {}
+
+    def conv(key, o, i, k=3, groups=1):
+        sd[key + ".weight"] = (r.standard_normal((o, i // groups, k, k)) * 0.1).astype(np.float32)
+
+    def bn(key, c):
+        sd[key + ".weight"] = np.ones(c, np.float32)
+        sd[key + ".bias"] = np.zeros(c, np.float32)
+        sd[key + ".running_mean"] = np.zeros(c, np.float32)
+        sd[key + ".running_var"] = np.ones(c, np.float32)
+
+    # torchvision mobilenet_v2 channel plan for features[0..16]
+    plan = {0: ("stem", 3, 32), 1: (1, 32, 16), 2: (6, 16, 24), 3: (6, 24, 24),
+            4: (6, 24, 32), 5: (6, 32, 32), 6: (6, 32, 32), 7: (6, 32, 64),
+            8: (6, 64, 64), 9: (6, 64, 64), 10: (6, 64, 64), 11: (6, 64, 96),
+            12: (6, 96, 96), 13: (6, 96, 96), 14: (6, 96, 160),
+            15: (6, 160, 160), 16: (6, 160, 160)}
+    for blk, (lo, hi) in _EN_BLOCKS.items():
+        for seq_i, feat_i in enumerate(range(lo, hi + 1)):
+            base = f"en_block{blk}.{seq_i}"
+            t, cin, cout = plan[feat_i]
+            if t == "stem":
+                conv(base + ".0", cout, cin)
+                bn(base + ".1", cout)
+                continue
+            hidden = cin * t
+            i = 0
+            if t != 1:
+                conv(base + ".conv.0.0", hidden, cin, k=1)
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{base}.conv.0.1.{suf}"] = (np.ones if suf in ("weight", "running_var")
+                                                    else np.zeros)(hidden).astype(np.float32)
+                i = 1
+            conv(f"{base}.conv.{i}.0", hidden, hidden, k=3, groups=hidden)
+            for suf in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{base}.conv.{i}.1.{suf}"] = (np.ones if suf in ("weight", "running_var")
+                                                  else np.zeros)(hidden).astype(np.float32)
+            conv(f"{base}.conv.{i + 1}", cout, hidden, k=1)
+            for suf in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{base}.conv.{i + 2}.{suf}"] = (np.ones if suf in ("weight", "running_var")
+                                                    else np.zeros)(cout).astype(np.float32)
+    for name, (cin, cout) in (("de_block4", (160, 96)), ("de_block3", (192, 32)),
+                              ("de_block2", (64, 24)), ("de_block1", (48, 16)),
+                              ("de_block0", (32, 7))):
+        conv(name + ".1", cout, cin)
+        sd[name + ".1.bias"] = np.zeros(cout, np.float32)
+
+    from forge_tpu.core.state_dict import transform_for_jax
+    params = nest({k: jnp.asarray(v) for k, v in transform_for_jax(sd).items()})
+    x = jnp.asarray(r.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    out = np.asarray(anime_face_apply(params, x))
+    assert out.shape == (1, 64, 64, 7)
+    assert np.allclose(out.sum(-1), 1.0, atol=1e-4)  # softmax head
