@@ -74,13 +74,32 @@ def guess(sd: Mapping[str, np.ndarray]) -> GuessResult:
 
     if has_label_emb:
         adm = _shape(unet_sd, "label_emb.0.0.weight")[1]
+        if "encoder_hid_proj.weight" in unet_sd:
+            # Kolors: SDXL UNet + 4096→2048 ChatGLM projection, adm 5632
+            # (reference config backend/huggingface/Kwai-Kolors/Kolors/unet)
+            return GuessResult(
+                family="kolors",
+                prediction="eps",
+                unet=unet_sd,
+                vae=vae_sd,
+                text_encoders=_collect_text_encoders(sd),
+                context_dim=int(unet_sd["encoder_hid_proj.weight"].shape[1]),
+            )
         if adm == 2560:
             family, context_dim = "sdxl_refiner", 1280
         else:  # 2816 for SDXL base
             family, context_dim = "sdxl", 2048
+        # Playground v2.5: SDXL geometry trained under the EDM objective —
+        # indistinguishable by shapes; detected by the EDM marker keys its
+        # single-file exports carry (edm_mean/edm_std or edm_vpred.sigma_*),
+        # matching the reference's scheduler-config-driven dispatch
+        # (backend/loader.py:543, playgroundai config folder).
+        prediction = "eps"
+        if any(k.startswith(("edm_mean", "edm_std", "edm_vpred.")) for k in keys):
+            family, prediction = "playground", "edm"
         return GuessResult(
             family=family,
-            prediction="eps",
+            prediction=prediction,
             unet=unet_sd,
             vae=vae_sd,
             text_encoders=_collect_text_encoders(sd),
@@ -134,4 +153,6 @@ def _collect_text_encoders(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict[str, 
     grab("text_encoders.clip_l.transformer.", "clip_l")
     grab("text_encoders.clip_g.transformer.", "clip_g")
     grab("text_encoders.t5xxl.transformer.", "t5xxl")
+    # Kolors ChatGLM3 (merged single-file exports prefix it text_encoders.chatglm.)
+    grab("text_encoders.chatglm.", "chatglm")
     return out

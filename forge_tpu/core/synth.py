@@ -48,6 +48,7 @@ def synth_unet_sd(
     out_channels: int = 4,
     ff_mult: int = 4,
     middle_depth: Optional[int] = None,
+    encoder_hid_dim: Optional[int] = None,  # Kolors 4096→context projection
     fill: str = "zeros",
     seed: int = 1,
     prefix: str = "model.diffusion_model.",
@@ -55,6 +56,9 @@ def synth_unet_sd(
     f = _Fill(fill, seed)
     sd: Dict[str, np.ndarray] = {}
     emb = model_channels * 4
+    if encoder_hid_dim:
+        sd[prefix + "encoder_hid_proj.weight"] = f.w(context_dim, encoder_hid_dim)
+        sd[prefix + "encoder_hid_proj.bias"] = f.zeros(context_dim)
 
     def norm(key, ch):
         sd[key + ".weight"] = f.ones(ch)
@@ -541,4 +545,35 @@ def synth_controlnet_sd(
               (96, 32, 2), (96, 96, 1), (256, 96, 2), (model_channels, 256, 1)]
     for pos, (o, i, _s) in enumerate(ladder):
         conv(f"input_hint_block.{pos * 2}", o, i)
+    return sd
+
+
+def synth_chatglm_sd(
+    hidden: int = 4096,
+    layers: int = 28,
+    vocab: int = 65024,
+    kv_groups: int = 2,
+    ffn: Optional[int] = None,
+    head_dim: int = 128,
+    fill: str = "zeros",
+    seed: int = 9,
+    prefix: str = "text_encoders.chatglm.",
+) -> Dict[str, np.ndarray]:
+    """ChatGLM3-format state dict (Kolors text encoder; THUDM chatglm3-6b
+    defaults — pass smaller dims for tests; hidden must be a multiple of
+    head_dim)."""
+    f = _Fill(fill, seed)
+    ffn = ffn or int(hidden * 8 / 3 // 128 * 128) or hidden * 2
+    sd = {prefix + "transformer.embedding.word_embeddings.weight": f.w(vocab, hidden)}
+    kv_dim = kv_groups * head_dim
+    for i in range(layers):
+        b = f"{prefix}transformer.encoder.layers.{i}."
+        sd[b + "input_layernorm.weight"] = f.ones(hidden)
+        sd[b + "self_attention.query_key_value.weight"] = f.w(hidden + 2 * kv_dim, hidden)
+        sd[b + "self_attention.query_key_value.bias"] = f.zeros(hidden + 2 * kv_dim)
+        sd[b + "self_attention.dense.weight"] = f.w(hidden, hidden)
+        sd[b + "post_attention_layernorm.weight"] = f.ones(hidden)
+        sd[b + "mlp.dense_h_to_4h.weight"] = f.w(ffn * 2, hidden)
+        sd[b + "mlp.dense_4h_to_h.weight"] = f.w(hidden, ffn)
+    sd[prefix + "transformer.encoder.final_layernorm.weight"] = f.ones(hidden)
     return sd

@@ -47,6 +47,12 @@ class UNetConfig:
         if family == "sdxl_refiner":
             return UNetConfig(context_dim=1280, head_dim=64, use_linear_projection=True,
                               adm_in_channels=2560)
+        if family == "playground":  # SDXL geometry under the EDM objective
+            return UNetConfig(context_dim=2048, head_dim=64, use_linear_projection=True,
+                              adm_in_channels=2816)
+        if family == "kolors":  # SDXL UNet + ChatGLM hid-proj, adm 5632
+            return UNetConfig(context_dim=2048, head_dim=64, use_linear_projection=True,
+                              adm_in_channels=5632)
         raise ValueError(f"no UNet config for family {family!r}")
 
 
@@ -200,6 +206,11 @@ def unet_apply(
         v = nn.linear(y.astype(emb.dtype), le["0"])
         v = nn.linear(nn.silu(v), le["2"])
         emb = emb + v
+
+    if "encoder_hid_proj" in params:
+        # Kolors: ChatGLM hidden (4096) → cross-attn width (2048)
+        # (Kwai-Kolors unet config encoder_hid_dim_type='text_proj')
+        context = nn.linear(context, params["encoder_hid_proj"])
 
     input_blocks = params["input_blocks"]
     output_blocks = params["output_blocks"]

@@ -158,7 +158,7 @@ class DiffusionEngine:
         from ..parallel import mesh as mesh_mod
 
         self.mesh = mesh
-        if tensor_parallel and self.family in ("sd15", "sd20", "sdxl", "sdxl_refiner"):
+        if tensor_parallel and self.family in ("sd15", "sd20", "sdxl", "sdxl_refiner", "playground", "kolors"):
             self.loaded.unet = mesh_mod.shard_unet_params(self.loaded.unet, mesh)
         else:
             self.loaded.unet = mesh_mod.shard_replicated(self.loaded.unet, mesh)
@@ -175,8 +175,12 @@ class DiffusionEngine:
 
     def _build_predictor(self):
         fam, pred = self.family, self.loaded.prediction
-        if fam in ("sd15", "sd20", "sdxl", "sdxl_refiner"):
+        if fam in ("sd15", "sd20", "sdxl", "sdxl_refiner", "kolors"):
             predictor = pred_mod.DiscretePrediction(prediction_type=pred)
+        elif fam == "playground":
+            # Playground v2.5: EDM objective, sigma_data 0.5 (reference
+            # playgroundai scheduler config EDMDPMSolverMultistepScheduler)
+            predictor = pred_mod.PredictionEDM(sigma_data=0.5)
         elif fam == "sd3":
             predictor = pred_mod.PredictionFlow(shift=3.0)
         elif fam in ("flux", "chroma"):
@@ -201,7 +205,7 @@ class DiffusionEngine:
                 TextEncoderOptions(), self.embedding_db,
                 cfg=ClipConfig.for_width(_te_width(tes["clip_h"]) or 1024),
             )
-        elif self.family == "sdxl":
+        elif self.family in ("sdxl", "playground"):
             engines["clip_l"] = ClassicTextEngine(
                 tes["clip_l"], self.tokenizer,
                 TextEncoderOptions(layer="hidden", layer_idx=-2, final_layer_norm=False),
@@ -222,6 +226,10 @@ class DiffusionEngine:
                 self.embedding_db,
                 cfg=ClipConfig.for_width(_te_width(tes["clip_g"]) or 1280),
             )
+        elif self.family == "kolors":
+            from ..text.chatglm_engine import ChatGLMTextEngine
+
+            engines["chatglm"] = ChatGLMTextEngine(tes["chatglm"])
         elif self.family in ("flux", "chroma"):
             from ..text.t5_engine import T5TextEngine
 
@@ -284,7 +292,7 @@ class DiffusionEngine:
             z, _ = self.text_engines[name](prompts, max_chunks=max_chunks)
             return {"context": z.astype(self.compute_dtype)}
 
-        if self.family == "sdxl":
+        if self.family in ("sdxl", "playground"):
             zl, _ = self.text_engines["clip_l"](prompts, max_chunks=max_chunks)
             zg, pooled_g = self.text_engines["clip_g"](prompts, max_chunks=max_chunks)
             context = jnp.concatenate([zl, zg], axis=-1)
@@ -306,6 +314,20 @@ class DiffusionEngine:
                     for s in sizes]
             y = jnp.concatenate([pooled_g] + embs, axis=-1)
             return {"context": zg.astype(self.compute_dtype),
+                    "y": y.astype(self.compute_dtype)}
+
+        if self.family == "kolors":
+            # ChatGLM penultimate hidden states as context + SDXL-style size
+            # embeds around the 4096-d pooled token (adm 5632, Kwai-Kolors
+            # unet config addition_embed_type='text_time')
+            ctx, pooled = self.text_engines["chatglm"]([_first_line(p) for p in prompts])
+            osize = original_size or (height, width)
+            tsize = target_size or (height, width)
+            sizes = [osize[0], osize[1], crop[0], crop[1], tsize[0], tsize[1]]
+            embs = [nn.timestep_embedding(jnp.full((len(prompts),), s, jnp.float32), 256)
+                    for s in sizes]
+            y = jnp.concatenate([pooled] + embs, axis=-1)
+            return {"context": ctx.astype(self.compute_dtype),
                     "y": y.astype(self.compute_dtype)}
 
         if self.family in ("flux", "chroma"):
