@@ -49,6 +49,8 @@ def _measure(engine, p, runs=3):
 
 
 def config1():
+    import jax
+
     from forge_tpu.core.synth import synth_sd15_checkpoint
     from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.processing import Processing
@@ -62,7 +64,8 @@ def config1():
             "sd15_steps_per_s": round(20 / p50, 2),
             "sd15_images_per_s": round(1.0 / p50, 4),
             "sd15_compile_s": round(compile_s, 1),
-            "sd15_latencies": [round(x, 4) for x in lat]}
+            "sd15_latencies": [round(x, 4) for x in lat],
+            "backend": jax.default_backend()}
 
 
 def config2():
@@ -290,9 +293,9 @@ def main():
         print(json.dumps(_run_subprocess("serve")))
         return 0
 
-    import jax
-
-    detail = {"backend": jax.default_backend()}
+    # NOTE: no jax import here — initializing the backend in this parent
+    # would hold the chip while the per-config subprocesses need it
+    detail = {}
     for name in ("2b", "1", "2", "3", "4", "5"):
         detail.update(_run_subprocess(name))
 

@@ -191,6 +191,16 @@ def _first_dict(args) -> Dict[str, Any]:
     return {}
 
 
+# populated by webui.main() from the parsed argparse namespace; the
+# reference returns vars(shared.cmd_opts) (modules/api/api.py:211)
+CMD_FLAGS: Dict[str, Any] = {}
+
+# latent-space hires upscale modes (reference shared_items latent_upscale_modes)
+LATENT_UPSCALE_MODES = ("Latent", "Latent (antialiased)", "Latent (bicubic)",
+                        "Latent (bicubic antialiased)", "Latent (nearest)",
+                        "Latent (nearest-exact)")
+
+
 class Api:
     def __init__(self, models: ModelManager):
         self.models = models
@@ -206,22 +216,27 @@ class Api:
             ("GET", "/sdapi/v1/schedulers"): self.get_schedulers,
             ("GET", "/sdapi/v1/sd-models"): self.get_sd_models,
             ("GET", "/sdapi/v1/sd-modules"): self.get_sd_modules,
-            ("GET", "/sdapi/v1/cmd-flags"): lambda q, b: {},
+            ("GET", "/sdapi/v1/cmd-flags"): lambda q, b: dict(CMD_FLAGS),
             ("GET", "/sdapi/v1/upscalers"): self.get_upscalers,
             ("POST", "/sdapi/v1/extra-single-image"): self.extra_single,
             ("POST", "/sdapi/v1/extra-batch-images"): self.extra_batch,
-            ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [{"name": "Latent"}],
+            ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [
+                {"name": n} for n in LATENT_UPSCALE_MODES],
             ("GET", "/sdapi/v1/embeddings"): self.get_embeddings,
             ("GET", "/sdapi/v1/loras"): self.get_loras,
             ("POST", "/sdapi/v1/png-info"): self.png_info,
             ("GET", "/sdapi/v1/memory"): self.memory,
             ("POST", "/sdapi/v1/refresh-checkpoints"): self.refresh_checkpoints,
-            ("POST", "/sdapi/v1/refresh-loras"): lambda q, b: {},
+            ("POST", "/sdapi/v1/refresh-loras"): self.refresh_loras,
             ("POST", "/sdapi/v1/unload-checkpoint"): self.unload_checkpoint,
             ("POST", "/sdapi/v1/reload-checkpoint"): self.reload_checkpoint,
             ("GET", "/sdapi/v1/scripts"): self.list_scripts,
             ("GET", "/sdapi/v1/script-info"): self.script_info,
             ("GET", "/sdapi/v1/extensions"): self.list_extensions_api,
+            ("POST", "/sdapi/v1/merge-checkpoints"): self.merge_checkpoints,
+            ("GET", "/sdapi/v1/extra-networks/metadata"): self.network_metadata_get,
+            ("POST", "/sdapi/v1/extra-networks/metadata"): self.network_metadata_set,
+            ("POST", "/sdapi/v1/xyz-grid"): self.xyz_grid,
             ("GET", "/config_states"): self.config_states_api,
             ("POST", "/config_states/save"): self.config_states_save,
             ("GET", "/controlnet/model_list"): self.controlnet_models,
@@ -238,7 +253,6 @@ class Api:
             ("POST", "/sdapi/v1/spaces/launch"): self.spaces_launch,
             ("POST", "/sdapi/v1/spaces/terminate"): self.spaces_terminate,
         }
-        self.loras: List[Dict[str, Any]] = []
         from ..pipeline.upscalers import UpscalerRegistry
 
         self.upscalers = UpscalerRegistry(model_dirs={
@@ -487,8 +501,26 @@ class Api:
             }
         return {"loaded": loaded, "skipped": {}}
 
+    def _lora_registry(self):
+        eng = self.models.engine
+        reg = getattr(eng, "lora_registry", None) if eng is not None else None
+        if reg is None:
+            from ..pipeline.extra_networks import LoraRegistry
+
+            if not hasattr(self, "_standalone_loras"):
+                self._standalone_loras = LoraRegistry()
+            reg = self._standalone_loras
+        return reg
+
     def get_loras(self, query, body):
-        return self.loras
+        reg = self._lora_registry()
+        return [{"name": name, "alias": name, "path": path, "metadata": {}}
+                for name, path in sorted(reg.available.items())]
+
+    def refresh_loras(self, query, body):
+        """Rescan the LoRA directories (reference api.py refresh_loras)."""
+        self._lora_registry().refresh()
+        return {}
 
     def png_info(self, query, body):
         img_b64 = (body or {}).get("image", "")
@@ -569,6 +601,104 @@ class Api:
                  "commit_hash": e.commit_hash, "version": e.version,
                  "commit_date": "", "enabled": e.enabled}
                 for e in list_extensions()]
+
+    def merge_checkpoints(self, query, body):
+        """Checkpoint merger (the reference's merger tab,
+        modules/extras.py run_modelmerger, exposed here as an API the SPA
+        merger tab drives)."""
+        body = body or {}
+
+        def resolve(name):
+            if not name:
+                return None
+            c = self.models.checkpoints.get(name)
+            if c is None:
+                for k, v in self.models.checkpoints.items():
+                    if v.name == name or v.title == name:
+                        c = v
+                        break
+            if c is None:
+                raise ApiError(422, f"unknown checkpoint {name!r}")
+            return c.path
+
+        from ..pipeline.merger import run_modelmerger
+
+        import os as _os
+
+        out_name = body.get("custom_name") or "merged"
+        out_dir = _os.path.dirname(resolve(body["primary"])) or "."
+        path = work_queue.run_and_wait(
+            run_modelmerger,
+            resolve(body["primary"]),
+            resolve(body.get("secondary")) if body.get("secondary") else None,
+            tertiary=resolve(body.get("tertiary")) if body.get("tertiary") else None,
+            mode=body.get("interp_method", body.get("mode", "weighted_sum")),
+            multiplier=float(body.get("multiplier", 0.3)),
+            bake_in_vae=body.get("bake_in_vae") or None,
+            output_path=_os.path.join(out_dir, f"{out_name}.safetensors"),
+            discard_weights=body.get("discard_weights") or None,
+        )
+        self.models.refresh()
+        return {"path": path}
+
+    def xyz_grid(self, query, body):
+        """X/Y/Z plot (reference scripts/xyz_grid.py): txt2img params +
+        axis specs [{field|prompt_sr, values, search?}] → grid PNGs."""
+        body = dict(body or {})
+        axes_spec = [body.pop(k, None) for k in ("x_axis", "y_axis", "z_axis")]
+        from ..extensions.xyz_grid import Axis, run_xyz_grid
+
+        def mk(spec):
+            if not spec or not spec.get("values"):
+                return None
+            return Axis(field=spec.get("field", "seed"), values=spec["values"],
+                        search=spec.get("search"))
+
+        x = mk(axes_spec[0])
+        if x is None:
+            raise ApiError(422, "x_axis with values is required")
+        p = _processing_from_payload(body)
+        eng = self._engine()
+        grids = work_queue.run_and_wait(
+            run_xyz_grid, eng, p, x, mk(axes_spec[1]), mk(axes_spec[2]))
+        return {"images": [_image_to_b64(g) for g in grids]}
+
+    def network_metadata_get(self, query, body):
+        """Per-network user metadata (reference
+        ui_extra_networks_user_metadata.py: a "{path}.json" sidecar with
+        description / activation text / preferred weight / notes)."""
+        import os as _os
+
+        name = (query or {}).get("name", [""])[0]
+        reg = self._lora_registry()
+        path = reg.available.get(name)
+        if path is None:
+            raise ApiError(404, f"unknown network {name!r}")
+        side = _os.path.splitext(path)[0] + ".json"
+        if _os.path.exists(side):
+            with open(side, encoding="utf8") as f:
+                return json.load(f)
+        return {"description": "", "activation text": "",
+                "preferred weight": 0, "notes": ""}
+
+    def network_metadata_set(self, query, body):
+        import os as _os
+        import re as _re
+
+        body = body or {}
+        name = body.pop("name", "")
+        reg = self._lora_registry()
+        path = reg.available.get(name)
+        if path is None:
+            raise ApiError(404, f"unknown network {name!r}")
+        keep = {k: body[k] for k in
+                ("description", "activation text", "preferred weight",
+                 "negative text", "notes") if k in body}
+        side = _os.path.splitext(path)[0] + ".json"
+        assert _re.match(r".*\.json$", side)
+        with open(side, "w", encoding="utf8") as f:
+            json.dump(keep, f, indent=2)
+        return keep
 
     def config_states_api(self, query, body):
         from ..runtime.extensions import list_config_states

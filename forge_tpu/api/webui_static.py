@@ -100,6 +100,9 @@ details>summary{cursor:pointer;color:var(--dim)}
   <button data-tab="img2img">img2img</button>
   <button data-tab="extras">Extras</button>
   <button data-tab="pnginfo">PNG Info</button>
+  <button data-tab="xyz">X/Y/Z</button>
+  <button data-tab="merge">Merge</button>
+  <button data-tab="extensions">Extensions</button>
   <button data-tab="spaces">Spaces</button>
   <button data-tab="settings">Settings</button>
 </nav>
@@ -146,6 +149,78 @@ details>summary{cursor:pointer;color:var(--dim)}
       </fieldset>
     </div>
   </div>
+</div>
+
+<!-- ===================== X/Y/Z plot ===================================== -->
+<div class="tab" id="tab-xyz">
+  <div class="cols">
+    <div class="col-l">
+      <fieldset><legend>Base generation</legend>
+        <div class="row"><label>Prompt</label>
+          <textarea id="xyz-prompt" rows="2" class="grow"></textarea></div>
+        <div class="row"><label>Steps</label>
+          <input type="number" id="xyz-steps" value="20" style="width:5em">
+          <label>Size</label>
+          <input type="number" id="xyz-w" value="512" style="width:5em">x<input
+            type="number" id="xyz-h" value="512" style="width:5em"></div>
+      </fieldset>
+      <fieldset><legend>Axes (comma-separated values)</legend>
+        <div class="row"><label>X</label>
+          <select id="xyz-xf"></select>
+          <input id="xyz-xv" class="grow" placeholder="e.g. 1,2,3"></div>
+        <div class="row"><label>Y</label>
+          <select id="xyz-yf"></select>
+          <input id="xyz-yv" class="grow" placeholder="(optional)"></div>
+        <div class="row"><label>Z</label>
+          <select id="xyz-zf"></select>
+          <input id="xyz-zv" class="grow" placeholder="(optional)"></div>
+        <div class="row"><label>S/R search</label>
+          <input id="xyz-sr" class="grow"
+            placeholder="substring for Prompt S/R axes"></div>
+        <button class="primary" id="xyz-run">Generate grid</button>
+        <span class="small" id="xyz-status"></span>
+      </fieldset>
+    </div>
+    <div class="col-r">
+      <fieldset><legend>Grids</legend><div id="xyz-out" class="gallery"></div></fieldset>
+    </div>
+  </div>
+</div>
+
+<!-- ===================== Checkpoint merger ============================== -->
+<div class="tab" id="tab-merge">
+  <fieldset><legend>Merge checkpoints</legend>
+    <div class="row"><label>Primary (A)</label><select id="merge-a" class="grow"></select></div>
+    <div class="row"><label>Secondary (B)</label><select id="merge-b" class="grow"></select></div>
+    <div class="row"><label>Tertiary (C)</label><select id="merge-c" class="grow"></select></div>
+    <div class="row"><label>Method</label>
+      <select id="merge-mode">
+        <option value="weighted_sum">Weighted sum (A·(1−M) + B·M)</option>
+        <option value="add_difference">Add difference (A + (B−C)·M)</option>
+        <option value="no_interpolation">No interpolation (A)</option>
+      </select></div>
+    <div class="row"><label>Multiplier M</label>
+      <input type="range" id="merge-m" min="0" max="1" step="0.05" value="0.3">
+      <span class="val" id="merge-m-v">0.3</span></div>
+    <div class="row"><label>Output name</label>
+      <input id="merge-name" class="grow" value="merged"></div>
+    <button class="primary" id="merge-run">Merge</button>
+    <span class="small" id="merge-status"></span>
+  </fieldset>
+</div>
+
+<!-- ===================== Extensions ===================================== -->
+<div class="tab" id="tab-extensions">
+  <fieldset><legend>Installed extensions</legend>
+    <table style="width:100%;border-collapse:collapse" id="ext-table"></table>
+  </fieldset>
+  <fieldset><legend>Config states</legend>
+    <div class="row">
+      <input id="cfgstate-name" placeholder="snapshot name">
+      <button id="cfgstate-save">Save current config state</button>
+    </div>
+    <div id="cfgstate-list" class="small"></div>
+  </fieldset>
 </div>
 
 <!-- ===================== Spaces ========================================= -->
@@ -352,10 +427,36 @@ async function loadNetworks(){
     if(!box)continue;
     if(!chips.length){box.textContent="no LoRAs / embeddings found";continue;}
     box.innerHTML=chips.map((c,i)=>
-      `<button data-net="${i}" title="insert into prompt">${c.label}</button>`).join(" ");
-    $$(`#${m}-networks [data-net]`).forEach(b=>b.onclick=()=>{
-      const t=$(`#${m}-prompt`);
-      t.value=(t.value?t.value+", ":"")+chips[+b.dataset.net].ins;
+      `<button data-net="${i}" title="insert into prompt">${c.label}</button>`+
+      (c.ins.startsWith("<lora:")?`<button data-meta="${c.label}" title="edit metadata"
+         class="small">ⓘ</button>`:"")).join(" ");
+    $$(`#${m}-networks [data-net]`).forEach(b=>b.onclick=async()=>{
+      const t=$(`#${m}-prompt`); const c=chips[+b.dataset.net];
+      let ins=c.ins;
+      if(ins.startsWith("<lora:")){
+        try{const md=await api(`/sdapi/v1/extra-networks/metadata?name=${encodeURIComponent(c.label)}`);
+          const w=md["preferred weight"];
+          if(w)ins=`<lora:${c.label}:${w}>`;
+          if(md["activation text"])ins+=", "+md["activation text"];
+        }catch(e){}
+      }
+      t.value=(t.value?t.value+", ":"")+ins;
+    });
+    $$(`#${m}-networks [data-meta]`).forEach(b=>b.onclick=async()=>{
+      const name=b.dataset.meta;
+      const md=await api(`/sdapi/v1/extra-networks/metadata?name=${encodeURIComponent(name)}`);
+      const desc=prompt(`${name} — description`,md.description||"");
+      if(desc===null)return;
+      const act=prompt(`${name} — activation text (appended on insert)`,
+                       md["activation text"]||"");
+      if(act===null)return;
+      const w=prompt(`${name} — preferred weight (0 = default 1)`,
+                     md["preferred weight"]||0);
+      if(w===null)return;
+      await api("/sdapi/v1/extra-networks/metadata",
+        {name,description:desc,"activation text":act,"preferred weight":+w,
+         notes:md.notes||""});
+      toast("metadata saved");
     });
   }
 }
@@ -575,6 +676,79 @@ async function loadSpaces(){
   }catch(e){}
 }
 loadSpaces();
+
+/* ------- xyz grid ------- */
+const XYZ_FIELDS=["(none)","seed","steps","cfg_scale","sampler_name","scheduler",
+  "denoising_strength","width","height","prompt_sr"];
+["xyz-xf","xyz-yf","xyz-zf"].forEach(id=>{
+  const el=document.getElementById(id); if(!el)return;
+  el.innerHTML=XYZ_FIELDS.map(f=>`<option>${f}</option>`).join("");
+});
+document.getElementById("xyz-xf").value="seed";
+function xyzAxis(fId,vId){
+  const f=$("#"+fId).value, raw=$("#"+vId).value.trim();
+  if(f==="(none)"||!raw)return null;
+  const vals=raw.split(",").map(x=>x.trim()).filter(Boolean)
+      .map(x=>isNaN(Number(x))?x:Number(x));
+  const a={field:f,values:vals};
+  if(f==="prompt_sr")a.search=$("#xyz-sr").value;
+  return a;
+}
+$("#xyz-run").onclick=async()=>{
+  $("#xyz-status").textContent="generating…";
+  try{
+    const body={prompt:$("#xyz-prompt").value,steps:+$("#xyz-steps").value,
+      width:+$("#xyz-w").value,height:+$("#xyz-h").value,
+      x_axis:xyzAxis("xyz-xf","xyz-xv"),y_axis:xyzAxis("xyz-yf","xyz-yv"),
+      z_axis:xyzAxis("xyz-zf","xyz-zv")};
+    const r=await api("/sdapi/v1/xyz-grid",body);
+    $("#xyz-out").innerHTML=r.images.map(b=>`<img src="data:image/png;base64,${b}">`).join("");
+    $("#xyz-status").textContent="done";
+  }catch(e){$("#xyz-status").textContent="error: "+e.message;}
+};
+
+/* ------- merger ------- */
+$("#merge-m").oninput=()=>$("#merge-m-v").textContent=$("#merge-m").value;
+async function loadMergeModels(){
+  try{
+    const models=await api("/sdapi/v1/sd-models");
+    const opts='<option value="">(none)</option>'+
+      models.map(m=>`<option value="${m.title}">${m.title}</option>`).join("");
+    ["merge-a","merge-b","merge-c"].forEach(id=>$("#"+id).innerHTML=opts);
+  }catch(e){}
+}
+loadMergeModels();
+$("#merge-run").onclick=async()=>{
+  $("#merge-status").textContent="merging…";
+  try{
+    const r=await api("/sdapi/v1/merge-checkpoints",{
+      primary:$("#merge-a").value,secondary:$("#merge-b").value,
+      tertiary:$("#merge-c").value||null,
+      interp_method:$("#merge-mode").value,
+      multiplier:+$("#merge-m").value,custom_name:$("#merge-name").value});
+    $("#merge-status").textContent="saved → "+r.path;loadMergeModels();
+  }catch(e){$("#merge-status").textContent="error: "+e.message;}
+};
+
+/* ------- extensions ------- */
+async function loadExtensions(){
+  try{
+    const ex=await api("/sdapi/v1/extensions");
+    $("#ext-table").innerHTML=
+      "<tr><th align=left>name</th><th align=left>version</th>"+
+      "<th align=left>branch</th><th>enabled</th></tr>"+
+      ex.map(e=>`<tr><td>${e.name}</td><td>${e.version||""}</td>
+        <td>${e.branch||""}</td><td align=center>${e.enabled?"✓":"—"}</td></tr>`).join("");
+    const states=await api("/config_states");
+    $("#cfgstate-list").innerHTML=states.map(
+      st=>`<div>${st.name} — ${new Date(st.created_at*1000).toLocaleString()}</div>`).join("");
+  }catch(e){}
+}
+loadExtensions();
+$("#cfgstate-save").onclick=async()=>{
+  await api("/config_states/save",{name:$("#cfgstate-name").value});
+  loadExtensions();
+};
 
 /* ------- settings ------- */
 async function loadSettings(){

@@ -123,7 +123,10 @@ def _official_flash(q, k, v, scale):
     d = q.shape[-1]
     sm = float(scale) if scale is not None else 1.0 / math.sqrt(d)
     lq = q.shape[2]
-    bq = min(512, lq)
+    # swept on v5e (tools-era microbench, marginal-time method): bq 256 beats
+    # 512 at both SDXL shapes — L=4096/h10: 1.12 vs 1.24 ms; L=1024/h20:
+    # 0.143 vs 0.172 ms (smaller q block → more parallel grid slots)
+    bq = min(256, lq)
     bk = min(1024, lq)
     try:
         return jax_flash(q, k, v, causal=False, sm_scale=sm,

@@ -1076,10 +1076,20 @@ def _run_phased(engine, p, x, sigmas, step_noise, cond, uncond, n_steps, unet_pa
 
 
 def _latent_upscale(latent: jax.Array, scale: float,
-                    target: Optional[Tuple[int, int]] = None) -> jax.Array:
+                    target: Optional[Tuple[int, int]] = None,
+                    mode: str = "Latent") -> jax.Array:
+    """Latent-space hires upscale; mode names mirror the reference's
+    latent_upscale_modes (shared_items: bilinear/bicubic/nearest ×
+    antialiased)."""
     b, h, w, c = latent.shape
     nh, nw = target if target else (int(h * scale), int(w * scale))
-    return jax.image.resize(latent, (b, nh, nw, c), method="bilinear")
+    method = "bilinear"
+    if "bicubic" in mode:
+        method = "bicubic"
+    elif "nearest" in mode:
+        method = "nearest"
+    aa = "antialiased" in mode
+    return jax.image.resize(latent, (b, nh, nw, c), method=method, antialias=aa)
 
 
 def _hr_target(p: Processing) -> Optional[Tuple[int, int]]:
@@ -1096,7 +1106,7 @@ def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=No
     decodes, upscales in pixel space (GAN/Lanczos), and re-encodes."""
     info = get_sampler(p.sampler_name)
     target = _hr_target(p)
-    if p.hr_upscaler and p.hr_upscaler != "Latent":
+    if p.hr_upscaler and not p.hr_upscaler.startswith("Latent"):
         from .upscalers import UpscalerRegistry
 
         registry = getattr(engine, "upscalers", None) or UpscalerRegistry()
@@ -1113,7 +1123,8 @@ def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=No
                 method="bilinear"))
         latent = engine.encode_first_stage(jnp.asarray(ups)).astype(jnp.float32)
     else:
-        latent = _latent_upscale(latent, p.hr_scale, target=target)
+        latent = _latent_upscale(latent, p.hr_scale, target=target,
+                                 mode=p.hr_upscaler or "Latent")
     b, h8, w8, lc = latent.shape
 
     steps = p.hr_second_pass_steps or p.steps

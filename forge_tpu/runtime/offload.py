@@ -35,10 +35,13 @@ def device_sharding(device=None):
 
 def fetch_to_device(tree, device=None):
     """In-jit: copy array leaves to device HBM. Used inside the compiled
-    denoise step when offload is active — XLA's scheduler places each
-    host→HBM copy near its first use and frees it after its last, which is
-    the double-buffered stream mover, compiler-managed. Leaves already in
-    HBM are unaffected (same-space copies are elided)."""
+    denoise step when offload is active. XLA schedules each host→HBM copy
+    (it places copy-start/copy-done pairs around first/last use, which CAN
+    overlap transfer with compute), but the degree of overlap on this
+    backend is NOT independently verified by a trace — treat this as a
+    capacity feature (models beyond HBM run at streaming bandwidth), not a
+    measured latency-hiding claim. Leaves already in HBM are unaffected
+    (same-space copies are elided)."""
     dsh = device_sharding(device)
     return jax.tree.map(
         lambda l: jax.device_put(l, dsh) if isinstance(l, jax.Array) else l,

@@ -119,8 +119,16 @@ def test_for_nans(x, where: str = "unet", enabled: bool = True):
     processing.py:1006; disable like --disable-nan-check)."""
     if not enabled:
         return
-    arr = np.asarray(x, dtype=np.float32)
-    if np.isnan(arr).any() or np.isinf(arr).any():
+    if hasattr(x, "devices"):
+        # device array: reduce to ONE scalar on device — fetching the whole
+        # tensor costs ~35 ms for an SDXL latent over the tunnel (20 MB/s)
+        import jax.numpy as jnp
+
+        bad = not bool(jnp.isfinite(x.astype(jnp.float32)).all())
+    else:
+        arr = np.asarray(x, dtype=np.float32)
+        bad = bool(np.isnan(arr).any() or np.isinf(arr).any())
+    if bad:
         if where == "unet":
             message = (
                 "A tensor with NaNs was produced in the UNet. This could be "

@@ -54,7 +54,7 @@ class ForgeSpace:
     def running(self) -> bool:
         return self.proc is not None and self.proc.poll() is None
 
-    def launch(self, host: str = "127.0.0.1", timeout: float = 20.0) -> str:
+    def launch(self, host: str = "127.0.0.1", timeout: float = 60.0) -> str:
         if self.running:
             return self.url
         if not self.installed:
@@ -124,8 +124,8 @@ class SpaceManager:
     def list(self) -> List[Dict]:
         return [s.info() for s in self.spaces.values()]
 
-    def launch(self, name: str, host: str = "127.0.0.1") -> str:
-        return self.spaces[name].launch(host)
+    def launch(self, name: str, host: str = "127.0.0.1", timeout: float = 60.0) -> str:
+        return self.spaces[name].launch(host, timeout=timeout)
 
     def terminate(self, name: str):
         self.spaces[name].terminate()

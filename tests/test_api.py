@@ -142,3 +142,91 @@ def test_api_basic_auth():
         assert urllib.request.urlopen(req, timeout=10).status == 200
     finally:
         srv.shutdown()
+
+
+def test_xyz_grid_api(server):
+    out = _post("/sdapi/v1/xyz-grid", {
+        **PAYLOAD, "x_axis": {"field": "seed", "values": [1, 2]},
+        "y_axis": {"field": "cfg_scale", "values": [5.0, 9.0]}})
+    assert len(out["images"]) == 1
+    png = base64.b64decode(out["images"][0])
+    assert png[:4] == b"\x89PNG"
+    from PIL import Image
+    import io
+
+    grid = Image.open(io.BytesIO(png))
+    assert grid.size == (64, 64)  # 2×2 of 32² tiles
+
+
+def test_latent_upscale_modes_and_cmd_flags(server):
+    modes = _get("/sdapi/v1/latent-upscale-modes")
+    assert {"name": "Latent (bicubic)"} in modes and len(modes) >= 6
+    flags = _get("/sdapi/v1/cmd-flags")
+    assert isinstance(flags, dict)  # populated by webui.main at launch
+
+
+def test_lora_listing_and_refresh(server, tmp_path, monkeypatch):
+    import os
+
+    from forge_tpu.core.save import save_safetensors
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("models/Lora")
+    save_safetensors({"lora_unet_x.alpha": np.asarray(1.0, np.float32)},
+                     "models/Lora/testlora.safetensors")
+    assert _post("/sdapi/v1/refresh-loras", {}) == {}
+    names = [x["name"] for x in _get("/sdapi/v1/loras")]
+    assert "testlora" in names
+
+
+def test_ui_has_new_tabs(server):
+    page = urllib.request.urlopen(f"http://127.0.0.1:{PORT}/", timeout=30).read().decode()
+    for tab in ("xyz", "merge", "extensions"):
+        assert f'data-tab="{tab}"' in page, tab
+    assert "/sdapi/v1/xyz-grid" in page and "/sdapi/v1/merge-checkpoints" in page
+
+
+def test_merge_checkpoints_api(tmp_path):
+    from forge_tpu.api.server import Api
+    from forge_tpu.core.save import save_safetensors
+    from forge_tpu.core.state_dict import load_state_dict
+    from forge_tpu.runtime.models import ModelManager
+
+    a = {"model.diffusion_model.x.weight": np.full((4, 4), 1.0, np.float32)}
+    b = {"model.diffusion_model.x.weight": np.full((4, 4), 3.0, np.float32)}
+    save_safetensors(a, str(tmp_path / "ckpt_a.safetensors"))
+    save_safetensors(b, str(tmp_path / "ckpt_b.safetensors"))
+    mm = ModelManager(checkpoint_dirs=[str(tmp_path)])
+    api = Api(mm)
+    names = list(mm.checkpoints)
+    na = next(n for n in names if "ckpt_a" in n)
+    nb = next(n for n in names if "ckpt_b" in n)
+    out = api.merge_checkpoints(None, {
+        "primary": na, "secondary": nb,
+        "interp_method": "weighted_sum", "multiplier": 0.5,
+        "custom_name": "mergetest"})
+    merged = load_state_dict(out["path"])
+    assert np.allclose(np.asarray(merged["model.diffusion_model.x.weight"],
+                                  np.float32), 2.0)
+    assert any("mergetest" in n for n in mm.checkpoints)  # refresh picked it up
+
+
+def test_network_metadata_roundtrip(server, tmp_path, monkeypatch):
+    import os
+
+    from forge_tpu.core.save import save_safetensors
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("models/Lora")
+    save_safetensors({"lora_unet_x.alpha": np.asarray(1.0, np.float32)},
+                     "models/Lora/metalora.safetensors")
+    _post("/sdapi/v1/refresh-loras", {})
+    md = _get("/sdapi/v1/extra-networks/metadata?name=metalora")
+    assert md["description"] == ""
+    out = _post("/sdapi/v1/extra-networks/metadata",
+                {"name": "metalora", "description": "test net",
+                 "activation text": "trigger word", "preferred weight": 0.7})
+    assert out["description"] == "test net"
+    md2 = _get("/sdapi/v1/extra-networks/metadata?name=metalora")
+    assert md2["activation text"] == "trigger word"
+    assert os.path.exists("models/Lora/metalora.json")

@@ -196,3 +196,18 @@ def test_jit_cache_lru_eviction():
     assert int(c["a"](jax.numpy.zeros(()))) == 1  # evictee disposal left others usable
     c.clear()
     assert len(c) == 0
+
+
+def test_hires_latent_upscale_modes(engine):
+    """Every advertised latent mode runs and modes differ (reference
+    shared_items latent_upscale_modes)."""
+    from forge_tpu.api.server import LATENT_UPSCALE_MODES
+
+    outs = {}
+    for mode in ("Latent", "Latent (bicubic)", "Latent (nearest)"):
+        assert mode in LATENT_UPSCALE_MODES
+        r = process_images(engine, _p(enable_hr=True, hr_scale=2.0, steps=2,
+                                      hr_upscaler=mode, seed=11))
+        outs[mode] = r.images[0]
+        assert r.images[0].shape == (64, 64, 3)
+    assert not np.array_equal(outs["Latent"], outs["Latent (nearest)"])

@@ -168,7 +168,7 @@ def test_birefnet_space_end_to_end(tmp_path):
     try:
         mgr = SpaceManager(["extensions-builtin"])
         assert "forge_space_birefnet" in mgr.spaces
-        url = mgr.launch("forge_space_birefnet")
+        url = mgr.launch("forge_space_birefnet", timeout=180)
         # UI page serves
         page = urllib.request.urlopen(url, timeout=10).read().decode()
         assert "Remove Background" in page
@@ -180,10 +180,39 @@ def test_birefnet_space_end_to_end(tmp_path):
             data=_json.dumps({"image": base64.b64encode(buf.getvalue()).decode(),
                               "size": 64}).encode(),
             headers={"Content-Type": "application/json"})
-        out = _json.loads(urllib.request.urlopen(req, timeout=300).read())
+        out = _json.loads(urllib.request.urlopen(req, timeout=600).read())
         cut = Image.open(io.BytesIO(base64.b64decode(out["image"])))
         assert cut.mode == "RGBA" and cut.size == (40, 48)
         mgr.terminate_all()
         assert not mgr.spaces["forge_space_birefnet"].running
     finally:
         os.environ.pop("U2NET_MODEL_DIR", None)
+
+
+def test_caption_space_lifecycle(tmp_path):
+    """Second bundled space: discovery + launch + graceful no-model error."""
+    import base64
+    import io
+    import json as _json
+    import urllib.request
+
+    from PIL import Image
+
+    os.environ["CAPTION_MODEL_ROOT"] = str(tmp_path)  # no checkpoints
+    try:
+        mgr = SpaceManager(["extensions-builtin"])
+        assert "forge_space_florence_2" in mgr.spaces
+        url = mgr.launch("forge_space_florence_2", timeout=180)
+        page = urllib.request.urlopen(url, timeout=10).read().decode()
+        assert "Image Caption" in page
+        img = Image.fromarray(np.zeros((16, 16, 3), np.uint8))
+        buf = io.BytesIO(); img.save(buf, format="PNG")
+        req = urllib.request.Request(
+            url + "/process",
+            data=_json.dumps({"image": base64.b64encode(buf.getvalue()).decode()}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert "no captioner checkpoints" in out.get("error", "")
+        mgr.terminate_all()
+    finally:
+        os.environ.pop("CAPTION_MODEL_ROOT", None)

@@ -40,6 +40,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from forge_tpu.api.server import CMD_FLAGS
+
+    CMD_FLAGS.update(vars(args))
 
     from forge_tpu.api.server import serve
     from forge_tpu.ops.attention import set_attention_impl
