@@ -222,6 +222,9 @@ class Api:
             ("POST", "/sdapi/v1/extra-batch-images"): self.extra_batch,
             ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [
                 {"name": n} for n in LATENT_UPSCALE_MODES],
+            ("GET", "/sdapi/v1/prompt-styles"): self.get_prompt_styles,
+            ("POST", "/sdapi/v1/prompt-styles"): self.save_prompt_style,
+            ("POST", "/sdapi/v1/refresh-prompt-styles"): self.refresh_prompt_styles,
             ("GET", "/sdapi/v1/embeddings"): self.get_embeddings,
             ("GET", "/sdapi/v1/loras"): self.get_loras,
             ("POST", "/sdapi/v1/png-info"): self.png_info,
@@ -233,6 +236,8 @@ class Api:
             ("GET", "/sdapi/v1/scripts"): self.list_scripts,
             ("GET", "/sdapi/v1/script-info"): self.script_info,
             ("GET", "/sdapi/v1/extensions"): self.list_extensions_api,
+            ("POST", "/sdapi/v1/extensions/install"): self.extensions_install,
+            ("POST", "/sdapi/v1/extensions/update"): self.extensions_update,
             ("POST", "/sdapi/v1/merge-checkpoints"): self.merge_checkpoints,
             ("GET", "/sdapi/v1/extra-networks/metadata"): self.network_metadata_get,
             ("POST", "/sdapi/v1/extra-networks/metadata"): self.network_metadata_set,
@@ -384,11 +389,55 @@ class Api:
 
     # -- config -------------------------------------------------------------
 
+    def get_prompt_styles(self, query, body):
+        """Reference api.py get_prompt_styles → /sdapi/v1/prompt-styles."""
+        from ..runtime.styles import prompt_styles
+
+        return [{"name": s.name, "prompt": s.prompt,
+                 "negative_prompt": s.negative_prompt}
+                for s in prompt_styles.styles.values()]
+
+    def save_prompt_style(self, query, body):
+        """Create/update (or with delete=true remove) a style and persist to
+        styles.csv — the API face of the UI's save-style button
+        (modules/ui_prompt_styles.py save_style)."""
+        from ..runtime.styles import PromptStyle, prompt_styles
+
+        body = body or {}
+        name = (body.get("name") or "").strip()
+        if not name:
+            raise ApiError(422, "style name required")
+        if body.get("delete"):
+            prompt_styles.styles.pop(name, None)
+        else:
+            existing = prompt_styles.styles.get(name)
+            prompt_styles.styles[name] = PromptStyle(
+                name, body.get("prompt") or "",
+                body.get("negative_prompt") or "",
+                existing.path if existing else None)
+        prompt_styles.save()
+        return {"name": name}
+
+    def refresh_prompt_styles(self, query, body):
+        from ..runtime.styles import prompt_styles
+
+        prompt_styles.reload()
+        return {}
+
     def get_options(self, query, body):
         return {k: v["value"] for k, v in opts.dump_registry().items()}
 
     def set_options(self, query, body):
+        # --freeze-settings disables all settings editing (reference
+        # cmd_args --freeze-settings; options.py:overrides check)
+        if CMD_FLAGS.get("freeze_settings"):
+            raise ApiError(403, "settings are frozen (--freeze-settings)")
+        frozen = {s.strip() for s in
+                  (CMD_FLAGS.get("freeze_specific_settings") or "").split(",")
+                  if s.strip()}
         for k, v in (body or {}).items():
+            if k in frozen:
+                raise ApiError(403, f"setting {k!r} is frozen")
             opts.set(k, v)
         ckpt = (body or {}).get("sd_model_checkpoint")
         if ckpt:
@@ -568,6 +617,9 @@ class Api:
         return {}
 
     def index(self, query, body):
+        # --nowebui: API-only mode (reference webui.py api_only())
+        if CMD_FLAGS.get("nowebui"):
+            raise ApiError(404, "webui disabled (--nowebui)")
         from .webui_static import INDEX_HTML
 
         return _RawResponse(INDEX_HTML, "text/html; charset=utf-8")
@@ -601,6 +653,42 @@ class Api:
                  "commit_hash": e.commit_hash, "version": e.version,
                  "commit_date": "", "enabled": e.enabled}
                 for e in list_extensions()]
+
+    def _check_extension_access(self):
+        """Install/update executes fetched code: require the reference's
+        --enable-insecure-extension-access flag (ui_extensions.py:345
+        check_access; we require it unconditionally, which is stricter than
+        the reference's listen/share-only gate)."""
+        if not CMD_FLAGS.get("enable_insecure_extension_access"):
+            raise ApiError(403, "extension install/update requires "
+                                "--enable-insecure-extension-access")
+
+    def extensions_install(self, query, body):
+        self._check_extension_access()
+        from ..runtime.extensions import install_extension
+
+        body = body or {}
+        ext = install_extension(body.get("url", ""),
+                                dirname=body.get("dirname", ""),
+                                branch=body.get("branch", ""))
+        return {"name": ext.name, "path": ext.path,
+                "commit_hash": ext.commit_hash}
+
+    def extensions_update(self, query, body):
+        self._check_extension_access()
+        from ..runtime.extensions import (check_extension_updates,
+                                          list_extensions, update_extension)
+
+        body = body or {}
+        name = body.get("name", "")
+        for ext in list_extensions():
+            if ext.name == name or ext.canonical_name == name.lower():
+                if body.get("check_only"):
+                    return {"name": ext.name,
+                            "status": check_extension_updates(ext)}
+                return {"name": ext.name,
+                        "commit_hash": update_extension(ext)}
+        raise ApiError(404, f"no extension named {name!r}")
 
     def merge_checkpoints(self, query, body):
         """Checkpoint merger (the reference's merger tab,
@@ -744,6 +832,13 @@ class Api:
     def server_stop(self, query, body):
         import threading
 
+        # reference cmd_args --api-server-stop gates these routes
+        # (api/api.py:256-259 registers them only when the flag is set).
+        # Default True so programmatic create_server() users keep them;
+        # webui.py sets the flag explicitly from argv.
+        if not CMD_FLAGS.get("api_server_stop", True):
+            raise ApiError(404, "server stop/restart disabled "
+                                "(pass --api-server-stop)")
         threading.Thread(target=self._shutdown, daemon=True).start()
         return {}
 
@@ -790,13 +885,48 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet
         pass
 
+    def _cors_origin(self) -> Optional[str]:
+        """Allowed CORS origin for this request, or None (reference
+        cmd_args --cors-allow-origins / --cors-allow-origins-regex)."""
+        origin = self.headers.get("Origin")
+        if not origin:
+            return None
+        allowed = CMD_FLAGS.get("cors_allow_origins") or ""
+        if origin in {o.strip() for o in allowed.split(",") if o.strip()}:
+            return origin
+        pattern = CMD_FLAGS.get("cors_allow_origins_regex")
+        if pattern:
+            import re as _re
+
+            try:
+                if _re.fullmatch(pattern, origin):
+                    return origin
+            except _re.error:
+                pass
+        return None
+
     def _reply(self, code: int, payload: Any):
         data = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))
+        origin = self._cors_origin()
+        if origin:
+            self.send_header("Access-Control-Allow-Origin", origin)
+            self.send_header("Vary", "Origin")
         self.end_headers()
         self.wfile.write(data)
+
+    def do_OPTIONS(self):
+        origin = self._cors_origin()
+        self.send_response(204 if origin else 403)
+        if origin:
+            self.send_header("Access-Control-Allow-Origin", origin)
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers",
+                             "Content-Type, Authorization")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
     def _dispatch(self, method: str):
         import time as _time
@@ -834,6 +964,9 @@ class _Handler(BaseHTTPRequestHandler):
             if parsed.path.startswith("/sdapi"):
                 log_event("api_request", method=method, path=parsed.path,
                           status=200, duration_s=round(_time.time() - t0, 4))
+                if CMD_FLAGS.get("api_log"):
+                    print(f"API {method} {parsed.path} 200 "
+                          f"{_time.time() - t0:.3f}s")
             if isinstance(result, _RawResponse):
                 data = result.body.encode()
                 self.send_response(200)
@@ -876,7 +1009,24 @@ def create_server(models: ModelManager, host: str = "127.0.0.1", port: int = 786
         creds = {"Basic " + _b64.b64encode(pair.strip().encode()).decode()
                  for pair in api_auth.split(",") if pair.strip()}
     handler = type("BoundHandler", (_Handler,), {"api": api, "auth": creds})
+    # --timeout-keep-alive (reference passes this to uvicorn; here it bounds
+    # how long an idle persistent connection holds a handler thread)
+    ka = CMD_FLAGS.get("timeout_keep_alive")
+    if ka:
+        handler.timeout = int(ka)
     server = ThreadingHTTPServer((host, port), handler)
+    # --tls-keyfile/--tls-certfile (reference cmd_args; uvicorn ssl_keyfile/
+    # ssl_certfile). Both must be present, matching the reference's
+    # "partially enables TLS" behavior.
+    keyfile = CMD_FLAGS.get("tls_keyfile")
+    certfile = CMD_FLAGS.get("tls_certfile")
+    if keyfile and certfile:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile=certfile, keyfile=keyfile)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        server.uses_tls = True
     server.api = api
     server.restart_requested = False
     api._server = server
@@ -903,7 +1053,8 @@ def serve(models: ModelManager, host: str = "127.0.0.1", port: int = 7860,
     """Serve until stopped; on /sdapi/v1/server-restart, re-exec the process
     in place (the reference's restart loop, webui.py:147-176)."""
     server = create_server(models, host, port, api_auth=api_auth)
-    print(f"forge-tpu API listening on http://{host}:{port}")
+    scheme = "https" if getattr(server, "uses_tls", False) else "http"
+    print(f"forge-tpu API listening on {scheme}://{host}:{port}")
     server.serve_forever()
     from ..runtime.scripts import fire
 

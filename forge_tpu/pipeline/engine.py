@@ -103,6 +103,14 @@ class DiffusionEngine:
         self.compute_dtype = compute_dtype or (
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
+        # --no-half-vae / 'vae_dtype' option: VAE precision independent of
+        # the UNet (reference cmd_args --no-half-vae → sd_vae dtype)
+        from ..runtime.options import opts as _opts
+
+        vd = _opts.get("vae_dtype")
+        self.vae_dtype = (jnp.float32 if vd == "float32"
+                          else jnp.bfloat16 if vd == "bfloat16"
+                          else self.compute_dtype)
         self.latent_format = latent_formats.BY_FAMILY[loaded.family]
         self.unet_cfg = None
         self.flux_cfg = None
@@ -433,7 +441,7 @@ class DiffusionEngine:
             @jax.jit
             def fn(vp, z):
                 z = jnp.asarray(self.latent_format.process_out(z.astype(jnp.float32)))
-                return vae_mod.vae_decode(vp, z.astype(self.compute_dtype))
+                return vae_mod.vae_decode(vp, z.astype(self.vae_dtype))
 
             self._jit_cache[key] = fn
         return self._jit_cache[key](self.loaded.vae, latent)
@@ -498,7 +506,7 @@ class DiffusionEngine:
             @jax.jit
             def fn(vp, z):
                 z = jnp.asarray(self.latent_format.process_out(z.astype(jnp.float32)))
-                img = vae_mod.vae_decode(vp, z.astype(self.compute_dtype))
+                img = vae_mod.vae_decode(vp, z.astype(self.vae_dtype))
                 img = jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5, 0, 255)
                 return img.astype(jnp.uint8)
 
@@ -511,7 +519,7 @@ class DiffusionEngine:
         if key not in self._jit_cache:
             @jax.jit
             def fn(vp, x, nz):
-                z = vae_mod.vae_encode(vp, x.astype(self.compute_dtype), noise=nz)
+                z = vae_mod.vae_encode(vp, x.astype(self.vae_dtype), noise=nz)
                 return jnp.asarray(self.latent_format.process_in(z.astype(jnp.float32)))
 
             self._jit_cache[key] = fn

@@ -261,6 +261,9 @@ _FIELD_MAP = {
     "Hires upscale": ("hr_scale", float),
     "Hires steps": ("hr_second_pass_steps", int),
     "Hires upscaler": ("hr_upscaler", str),
+    "Hires prompt": ("hr_prompt", str),
+    "Hires negative prompt": ("hr_negative_prompt", str),
+    "Hires CFG Scale": ("hr_cfg_scale", float),
     "Mask blur": ("mask_blur", float),
     "Masked area padding": ("inpaint_full_res_padding", int),
     "Eta": ("eta", float),
@@ -278,6 +281,26 @@ def infotext_to_processing_args(text: str) -> Dict[str, Any]:
     and UI paste path, reference api.py:301-351 apply_infotext)."""
     d = parse_generation_parameters(text)
     out: Dict[str, Any] = {}
+
+    # style extraction on paste (reference infotext_utils.py:318-333,
+    # governed by the infotext_styles option): peel known styles off the
+    # prompts and re-express them as style selections
+    mode = "Ignore"
+    try:
+        from ..runtime.options import opts
+
+        mode = str(opts.get("infotext_styles"))
+    except Exception:  # noqa: BLE001 — options registry optional in tests
+        pass
+    if mode in ("Apply", "Discard", "Apply if any") and d.get("Prompt"):
+        from ..runtime.styles import prompt_styles
+
+        found, pos, neg = prompt_styles.extract_styles_from_prompt(
+            d.get("Prompt", ""), d.get("Negative prompt", ""))
+        if found:
+            d["Prompt"], d["Negative prompt"] = pos, neg
+            if mode != "Discard":
+                out["styles"] = found
     for key, (field, cast) in _FIELD_MAP.items():
         v = d.get(key)
         if v is None or v == "":

@@ -33,6 +33,9 @@ from .engine import DiffusionEngine
 class Processing:
     prompt: str = ""
     negative_prompt: str = ""
+    # prompt style names applied from the StyleDatabase (reference
+    # processing.py:414 setup_prompts apply_styles_to_prompt)
+    styles: Optional[List[str]] = None
     seed: int = -1
     subseed: int = -1
     subseed_strength: float = 0.0
@@ -87,6 +90,11 @@ class Processing:
     hr_upscaler: str = "Latent"
     hr_denoising_strength: float = 0.7
     hr_checkpoint_name: Optional[str] = None  # different model for the hires pass
+    # distinct hires prompts (reference processing.py:1565-1580
+    # all_hr_prompts; empty = reuse the base prompt/conds)
+    hr_prompt: str = ""
+    hr_negative_prompt: str = ""
+    hr_cfg_scale: float = 0.0  # 0 = use cfg_scale (forge 'Hires CFG Scale')
     # refiner two-pass (reference processing.py:1342-1428 + cfg_denoiser
     # refiner switch): swap to the refiner engine at switch_at·steps
     refiner_checkpoint: Optional[str] = None
@@ -533,6 +541,12 @@ def _record_generation_params(engine: DiffusionEngine, p: Processing) -> None:
         eg["Hires upscaler"] = p.hr_upscaler
         if p.hr_checkpoint_name:
             eg["Hires checkpoint"] = p.hr_checkpoint_name
+        if p.hr_prompt:
+            eg["Hires prompt"] = p.hr_prompt
+        if p.hr_negative_prompt:
+            eg["Hires negative prompt"] = p.hr_negative_prompt
+        if p.hr_cfg_scale:
+            eg["Hires CFG Scale"] = p.hr_cfg_scale
 
     if p.refiner_checkpoint and 0.0 < p.refiner_switch_at < 1.0:
         eg["Refiner"] = p.refiner_checkpoint
@@ -542,6 +556,22 @@ def _record_generation_params(engine: DiffusionEngine, p: Processing) -> None:
 def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
     t0 = time.time()
     _PHASE.clear()
+    if p.styles:
+        # styles expand into the working prompts once, up front (reference
+        # processing.py:414 — all_prompts carry the styled text; infotext
+        # records the styled prompt the model actually saw)
+        from ..runtime.styles import prompt_styles
+
+        p.prompt = prompt_styles.apply_styles_to_prompt(p.prompt, p.styles)
+        p.negative_prompt = prompt_styles.apply_negative_styles_to_prompt(
+            p.negative_prompt, p.styles)
+        if p.hr_prompt:
+            p.hr_prompt = prompt_styles.apply_styles_to_prompt(
+                p.hr_prompt, p.styles)
+        if p.hr_negative_prompt:
+            p.hr_negative_prompt = prompt_styles.apply_negative_styles_to_prompt(
+                p.hr_negative_prompt, p.styles)
+        p.styles = None  # applied; re-entry (hires/refiner) must not reapply
     _resolve_seeds(p)
     _apply_option_defaults(p)
     engine.set_clip_skip(p.clip_skip)
@@ -1006,10 +1036,23 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
         if p.scripts is not None:
             p.scripts.before_hr(p)
         hr_engine = engine
+        reencode = False
         if p.hr_checkpoint_name or getattr(p, "_hr_engine", None) is not None:
             hr_engine = _resolve_engine(p, p.hr_checkpoint_name, "_hr_engine")
-            cond, uncond = _encode_base_conds(hr_engine, p)
             unet_params = None
+            reencode = True
+        if p.hr_prompt or p.hr_negative_prompt:
+            reencode = True  # distinct hires prompts (processing.py:1565)
+        if reencode:
+            saved = (p.prompt, p.negative_prompt)
+            if p.hr_prompt:
+                p.prompt = p.hr_prompt
+            if p.hr_negative_prompt:
+                p.negative_prompt = p.hr_negative_prompt
+            try:
+                cond, uncond = _encode_base_conds(hr_engine, p)
+            finally:
+                p.prompt, p.negative_prompt = saved
         latent = _hires_pass(hr_engine, p, latent, seeds, subseeds, cond, uncond, unet_params)
         return _decode_to_uint8(hr_engine, latent, p)
 
@@ -1146,9 +1189,15 @@ def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=No
         np.float32(sigmas[0]), noise0.astype(np.float32),
         np.asarray(latent, np.float32), max_denoise=False,
     ))
-    return _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
-                        skip_uncond=(p.cfg_scale == 1.0), kind="hires",
-                        unet_params=unet_params)
+    saved_cfg = p.cfg_scale
+    if p.hr_cfg_scale:
+        p.cfg_scale = p.hr_cfg_scale  # forge 'Hires CFG Scale'
+    try:
+        return _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
+                            skip_uncond=(p.cfg_scale == 1.0), kind="hires",
+                            unet_params=unet_params)
+    finally:
+        p.cfg_scale = saved_cfg
 
 
 # ---------------------------------------------------------------------------

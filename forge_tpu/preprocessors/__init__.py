@@ -253,3 +253,7 @@ try:  # noqa: SIM105
     from . import anime_face  # noqa: F401
 except Exception:  # pragma: no cover
     pass
+try:
+    from . import normalbae  # noqa: F401
+except Exception:  # pragma: no cover
+    pass

@@ -4,10 +4,11 @@ config-state snapshots.
 Behavioral twin of modules/extensions.py:39-316 (Extension objects with
 metadata.ini, git info, canonical names, dependency-aware load ordering) and
 modules/config_states.py (snapshot/restore of the extension + options
-state). Installation is filesystem-based (drop a directory under
-``extensions/``); the reference's git-clone installer is intentionally not a
-server capability here — arbitrary remote code fetch is a deployment
-decision, so install/update surface as explicit local operations.
+state). Installation follows modules/ui_extensions.py:344
+install_extension_from_url (git clone into extensions/, update via
+fetch+reset — extensions.py:226 fetch_and_reset_hard) using subprocess git;
+the HTTP surface for it is gated behind --enable-insecure-extension-access
+(same flag as the reference) because it executes arbitrary fetched code.
 
 Layout per extension:
     extensions/<name>/
@@ -145,6 +146,73 @@ def load_extension_scripts(runner, base_dirs: Optional[List[str]] = None) -> Lis
         if ext.enabled and os.path.isdir(ext.scripts_dir):
             runner.load_dir(ext.scripts_dir)
     return exts
+
+
+# -- install / update (modules/ui_extensions.py) ------------------------------
+
+
+def _git(cwd: str, *args: str, timeout: int = 120) -> str:
+    r = subprocess.run(["git", "-C", cwd, *args], capture_output=True,
+                       text=True, timeout=timeout)
+    if r.returncode != 0:
+        raise RuntimeError(f"git {' '.join(args)}: {r.stderr.strip()[:400]}")
+    return r.stdout.strip()
+
+
+def _dirname_from_url(url: str) -> str:
+    tail = url.rstrip("/").split("/")[-1]
+    return re.sub(r"\.git$", "", tail) or "extension"
+
+
+def install_extension(url: str, dirname: str = "", branch: str = "",
+                      base_dir: str = USER_DIR) -> Extension:
+    """Clone an extension repo into extensions/ (reference
+    ui_extensions.py:344 install_extension_from_url). Clones into a temp
+    sibling then renames, so a failed clone never leaves a half extension."""
+    url = (url or "").strip()
+    if not url:
+        raise ValueError("no URL specified")
+    name = re.sub(r"[^\w.-]", "_", (dirname or _dirname_from_url(url)).strip())
+    os.makedirs(base_dir, exist_ok=True)
+    target = os.path.join(base_dir, name)
+    if os.path.exists(target):
+        raise FileExistsError(f"extension directory already exists: {target}")
+    tmp = target + ".tmp-install"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    args = ["clone", "--depth", "1"]
+    if branch:
+        args += ["--branch", branch]
+    _git(".", *args, url, tmp, timeout=300)
+    os.rename(tmp, target)
+    ext = Extension(name=name, path=target)
+    ext.read_metadata()
+    ext.read_git_info()
+    return ext
+
+
+def check_extension_updates(ext: Extension) -> str:
+    """'latest' | 'new commits' | 'unknown' (reference extensions.py:201)."""
+    if not os.path.isdir(os.path.join(ext.path, ".git")):
+        return "unknown"
+    try:
+        _git(ext.path, "fetch", "--depth", "1", "origin", timeout=120)
+        local = _git(ext.path, "rev-parse", "HEAD")
+        remote = _git(ext.path, "rev-parse", "FETCH_HEAD")
+        return "latest" if local == remote else "new commits"
+    except Exception:
+        return "unknown"
+
+
+def update_extension(ext: Extension, commit: str = "") -> str:
+    """fetch + hard-reset to origin (reference extensions.py:226
+    fetch_and_reset_hard); returns the new HEAD hash."""
+    _git(ext.path, "fetch", "origin", timeout=300)
+    _git(ext.path, "reset", "--hard", commit or "FETCH_HEAD")
+    ext.read_git_info()
+    return ext.commit_hash
 
 
 # -- config states (modules/config_states.py) --------------------------------

@@ -17,6 +17,10 @@ from ..pipeline.engine import DiffusionEngine, load_engine
 
 _EXTS = (".safetensors", ".ckpt", ".sft", ".pt")
 
+# --no-hashing (reference cmd_args): skip checkpoint sha256 for faster
+# startup; infotext Model hash falls back to empty. Set by webui.main().
+NO_HASHING = False
+
 
 class CheckpointInfo:
     def __init__(self, path: str):
@@ -26,6 +30,8 @@ class CheckpointInfo:
         self._hash: Optional[str] = None
 
     def short_hash(self) -> str:
+        if NO_HASHING:
+            return ""
         if self._hash is None:
             h = hashlib.sha256()
             with open(self.path, "rb") as f:

@@ -218,6 +218,8 @@ _DEFAULTS = {
     "sd_vae_overrides_per_model_preferences": _O(True, "Selected VAE overrides per-model", "vae"),
     "auto_vae_precision_bfloat16": _O(False, "VAE bf16 on NaN", "vae"),
     "auto_vae_precision": _O(True, "VAE fp32 retry on NaN", "vae"),
+    "vae_dtype": _O("auto", "VAE compute dtype (--no-half-vae sets float32)",
+                    "vae", ["auto", "bfloat16", "float32"]),
     "sd_vae_encode_method": _O("Full", "VAE encode method", "vae", ["Full", "TAESD"]),
     "sd_vae_decode_method": _O("Full", "VAE decode method", "vae", ["Full", "TAESD"]),
     # -- img2img

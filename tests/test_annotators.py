@@ -517,3 +517,78 @@ def test_anime_face_segment_synthetic():
     out = np.asarray(anime_face_apply(params, x))
     assert out.shape == (1, 64, 64, 7)
     assert np.allclose(out.sum(-1), 1.0, atol=1e-4)  # softmax head
+
+
+def test_normalbae_synthetic():
+    """Structural test of the NNET port on a tiny B5-shaped checkpoint
+    (geffnet is not installed, so the reference encoder cannot be
+    instantiated for parity): encoder block typing from keys, TF-SAME
+    strides, UpSampleBN decoder, three pixel-MLP refinements, unit-normal
+    + kappa head at full input resolution."""
+    from forge_tpu.preprocessors.normalbae import normalbae_apply
+
+    r = np.random.default_rng(0)
+    sd = {}
+
+    def conv(key, o, i, k=1, bias=True):
+        sd[key + ".weight"] = (r.standard_normal((o, i, k, k)) * 0.1).astype(np.float32)
+        if bias:
+            sd[key + ".bias"] = np.zeros(o, np.float32)
+
+    def bn(key, c):
+        for suf, fill in (("weight", 1), ("bias", 0), ("running_mean", 0),
+                          ("running_var", 1)):
+            sd[f"{key}.{suf}"] = np.full(c, fill, np.float32)
+
+    enc = "encoder.original_model"
+    conv(enc + ".conv_stem", 8, 3, k=3, bias=False)
+    bn(enc + ".bn1", 8)
+    # 7 tiny stages: (cin, cout, k); stage 0 is depthwise-separable
+    plan = [(8, 4, 3), (4, 6, 3), (6, 8, 5), (8, 12, 3), (12, 14, 5),
+            (14, 16, 5), (16, 20, 3)]
+    for b, (cin, cout, k) in enumerate(plan):
+        base = f"{enc}.blocks.{b}.0"
+        if b == 0:
+            sd[base + ".conv_dw.weight"] = (r.standard_normal((cin, 1, k, k)) * 0.1).astype(np.float32)
+            bn(base + ".bn1", cin)
+            conv(base + ".se.conv_reduce", 2, cin)
+            conv(base + ".se.conv_expand", cin, 2)
+            conv(base + ".conv_pw", cout, cin, bias=False)
+            bn(base + ".bn2", cout)
+            continue
+        hidden = cin * 2
+        conv(base + ".conv_pw", hidden, cin, bias=False)
+        bn(base + ".bn1", hidden)
+        sd[base + ".conv_dw.weight"] = (r.standard_normal((hidden, 1, k, k)) * 0.1).astype(np.float32)
+        bn(base + ".bn2", hidden)
+        conv(base + ".se.conv_reduce", 2, hidden)
+        conv(base + ".se.conv_expand", hidden, 2)
+        conv(base + ".conv_pwl", cout, hidden, bias=False)
+        bn(base + ".bn3", cout)
+    conv(enc + ".conv_head", 32, 20, bias=False)
+    bn(enc + ".bn2", 32)
+
+    conv("decoder.conv2", 32, 32)
+    for name, (cin, cout) in (("up1", (32 + 14, 24)), ("up2", (24 + 8, 16)),
+                              ("up3", (16 + 6, 12)), ("up4", (12 + 4, 8))):
+        conv(f"decoder.{name}._net.0", cout, cin, k=3)
+        bn(f"decoder.{name}._net.1", cout)
+        conv(f"decoder.{name}._net.3", cout, cout, k=3)
+        bn(f"decoder.{name}._net.4", cout)
+    conv("decoder.out_conv_res8", 4, 16, k=3)
+    for name, cin in (("out_conv_res4", 16 + 4), ("out_conv_res2", 12 + 4),
+                      ("out_conv_res1", 8 + 4)):
+        dims = [cin, 10, 10, 10, 4]
+        for j, i1 in enumerate(range(0, 7, 2)):
+            sd[f"decoder.{name}.{i1}.weight"] = (
+                r.standard_normal((dims[j + 1], dims[j], 1)) * 0.1).astype(np.float32)
+            sd[f"decoder.{name}.{i1}.bias"] = np.zeros(dims[j + 1], np.float32)
+
+    from forge_tpu.core.state_dict import transform_for_jax
+    params = nest({k: jnp.asarray(v) for k, v in transform_for_jax(sd).items()})
+    x = jnp.asarray(r.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    out = np.asarray(normalbae_apply(params, x))
+    assert out.shape == (1, 64, 64, 4)
+    norms = np.linalg.norm(out[..., :3], axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-4)       # unit normals
+    assert out[..., 3].min() >= 0.01                # kappa floor

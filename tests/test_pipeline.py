@@ -93,6 +93,21 @@ def test_hires_fix(engine):
     assert r.images[0].shape == (64, 64, 3)
 
 
+def test_hires_distinct_prompt(engine):
+    """hr_prompt/hr_negative_prompt re-encode conds for the second pass and
+    change the hires output (reference processing.py:1565 all_hr_prompts);
+    hr_cfg_scale drives the hires CFG and lands in infotext."""
+    base = process_images(engine, _p(enable_hr=True, hr_scale=2.0, steps=2))
+    alt = process_images(engine, _p(enable_hr=True, hr_scale=2.0, steps=2,
+                                    hr_prompt="a watercolor of a boat",
+                                    hr_cfg_scale=3.0))
+    assert alt.images[0].shape == (64, 64, 3)
+    assert not np.array_equal(base.images[0], alt.images[0])
+    assert "Hires prompt: \"a watercolor of a boat\"" in alt.infotexts[0] or \
+        "Hires prompt: a watercolor of a boat" in alt.infotexts[0]
+    assert "Hires CFG Scale: 3" in alt.infotexts[0]
+
+
 def test_infotext_contains_params(engine):
     p = _p(steps=7, cfg_scale=3.5)
     text = create_infotext(p, 42, 0)
