@@ -35,12 +35,13 @@ def _measure(engine, p, runs=3):
     t0 = time.time()
     process_images(engine, p)  # compile
     compile_s = time.time() - t0
-    lat = []
+    lat, res = [], None
     for i in range(runs):
         p.seed = 1000 + i
         t0 = time.time()
-        process_images(engine, p)
+        res = process_images(engine, p)
         lat.append(time.time() - t0)
+    _measure.last_timings = dict(getattr(res, "timings", {}) or {})
     return float(np.median(lat)), compile_s, lat
 
 
@@ -82,7 +83,9 @@ def config2():
     return {"sdxl_1024_dpmpp2m_30step_p50_s": round(p50, 4),
             "sdxl_images_per_s": round(1.0 / p50, 4),
             "sdxl_steps_per_s": round(30 / p50, 2),
-            "sdxl_compile_s": round(compile_s, 1)}
+            "sdxl_compile_s": round(compile_s, 1),
+            "sdxl_phase_s": {k: round(v, 3)
+                             for k, v in _measure.last_timings.items()}}
 
 
 def config2b():
@@ -133,9 +136,11 @@ def config3():
     save_safetensors(lora_sd, os.path.join(tmp, "bench.safetensors"))
     eng.lora_registry = LoraRegistry([tmp])
 
-    cn = nest(transform_for_jax(synth_controlnet_sd(fill="zeros")))
+    from forge_tpu.core.state_dict import as_device_tree
+
+    cn = as_device_tree(nest(transform_for_jax(synth_controlnet_sd(fill="zeros"))))
     init = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.uint8)
-    hint = canny(init)[None].astype(np.float32) / 255.0
+    hint = np.repeat(canny(init)[..., None], 3, -1)[None].astype(np.float32) / 255.0
     mask = np.zeros((1024, 1024), np.float32)
     mask[256:768, 256:768] = 1.0
 
@@ -150,34 +155,47 @@ def config3():
     p50, compile_s, _ = _measure(eng, p, runs=2)
     return {"sdxl_lora_cn_inpaint_20step_p50_s": round(p50, 4),
             "sdxl_lora_cn_inpaint_images_per_s": round(1.0 / p50, 4),
-            "config3_compile_s": round(compile_s, 1)}
+            "config3_compile_s": round(compile_s, 1),
+            "config3_phase_s": {k: round(v, 3)
+                                for k, v in _measure.last_timings.items()}}
 
 
-def config4():
-    """Flux-dev-size quantized txt2img: NF4 and GGUF Q4_0 fused-dequant."""
+def _config4_kind(kind: str):
+    """Flux-dev-size quantized txt2img (one quant kind per subprocess: a
+    16 GB chip can't hold two resident Flux programs, and the 12B-param
+    host-side quantize + compile each deserve their own timeout)."""
     from forge_tpu.core.synth import (synth_clip_sd, synth_flux_sd,
                                       synth_t5_sd, synth_vae_sd)
     from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.processing import Processing
 
-    out = {}
     steps = 4  # s/step is the metric; 4 steps bounds wall time
-    for kind in ("nf4", "q4_0"):
-        sd = {}
-        sd.update(synth_flux_sd(fill="zeros"))
-        sd.update(synth_vae_sd(fill="zeros"))
-        sd.update(synth_clip_sd(fill="zeros", prefix="text_encoders.clip_l.transformer."))
-        sd.update(synth_t5_sd(fill="zeros"))
-        eng = load_engine(sd, unet_quant=kind)
-        p = Processing(prompt="bench", seed=1, steps=steps, width=1024,
-                       height=1024, cfg_scale=1.0, sampler_name="Euler",
-                       scheduler="simple", distilled_cfg_scale=3.5)
-        p50, compile_s, _ = _measure(eng, p, runs=2)
-        out[f"flux_{kind}_s_per_step"] = round(p50 / steps, 3)
-        out[f"flux_{kind}_1024_p50_s_{steps}step"] = round(p50, 3)
-        out[f"flux_{kind}_compile_s"] = round(compile_s, 1)
-        del eng
-    return out
+    t0 = time.time()
+    sd = {}
+    sd.update(synth_flux_sd(fill="zeros"))
+    sd.update(synth_vae_sd(fill="zeros"))
+    sd.update(synth_clip_sd(fill="zeros", prefix="text_encoders.clip_l.transformer."))
+    sd.update(synth_t5_sd(fill="zeros"))
+    print(f"[config4 {kind}] synth {time.time() - t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    eng = load_engine(sd, unet_quant=kind)
+    print(f"[config4 {kind}] load+quantize {time.time() - t0:.0f}s",
+          file=sys.stderr)
+    p = Processing(prompt="bench", seed=1, steps=steps, width=1024,
+                   height=1024, cfg_scale=1.0, sampler_name="Euler",
+                   scheduler="simple", distilled_cfg_scale=3.5)
+    p50, compile_s, _ = _measure(eng, p, runs=2)
+    return {f"flux_{kind}_s_per_step": round(p50 / steps, 3),
+            f"flux_{kind}_1024_p50_s_{steps}step": round(p50, 3),
+            f"flux_{kind}_compile_s": round(compile_s, 1)}
+
+
+def config4a():
+    return _config4_kind("nf4")
+
+
+def config4b():
+    return _config4_kind("q4_0")
 
 
 def config5():
@@ -194,13 +212,16 @@ def config5():
     eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
     rng = np.random.default_rng(0)
 
-    # synthetic IP-Adapter: attn2 K/V injection layers for the 640/1280 blocks
+    # synthetic IP-Adapter: attn2 K/V injection layers. SDXL attn2 trace
+    # order: 4×640 (input level-1), 20+10+30×1280 (input level-2, middle,
+    # output level-2), 6×640 (output level-1).
     ip_layers = {}
     for i in range(70):
         dim = 2048
+        width = 640 if (i < 4 or i >= 64) else 1280
         ip_layers[str(i * 2 + 1)] = {
-            "to_k_ip": {"weight": jnp.asarray(rng.standard_normal((640 if i < 8 else 1280, dim)) * 0.01, jnp.float32)},
-            "to_v_ip": {"weight": jnp.asarray(rng.standard_normal((640 if i < 8 else 1280, dim)) * 0.01, jnp.float32)},
+            "to_k_ip": {"weight": jnp.asarray(rng.standard_normal((width, dim)) * 0.01, jnp.float32)},
+            "to_v_ip": {"weight": jnp.asarray(rng.standard_normal((width, dim)) * 0.01, jnp.float32)},
         }
     # (projection already applied: 4 image tokens in cross-attn width)
     ip_tokens = jnp.asarray(rng.standard_normal((1, 4, 2048)) * 0.1, jnp.float32)
@@ -268,7 +289,7 @@ def serve_bench():
 
 
 CONFIGS = {"1": config1, "2": config2, "2b": config2b, "3": config3,
-           "4": config4, "5": config5, "serve": serve_bench}
+           "4a": config4a, "4b": config4b, "5": config5, "serve": serve_bench}
 
 
 def _run_subprocess(name: str, timeout: int = 3600) -> dict:
@@ -278,8 +299,11 @@ def _run_subprocess(name: str, timeout: int = 3600) -> dict:
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
-        return {f"config{name}_error":
-                (out.stderr.strip().splitlines() or ["no output"])[-1][:200]}
+        # surface the actual exception, not JAX's traceback-filtering notice
+        lines = out.stderr.strip().splitlines() or ["no output"]
+        err = [l for l in lines if "Error" in l or "Exception" in l
+               or "RESOURCE_EXHAUSTED" in l] or lines[-3:]
+        return {f"config{name}_error": " | ".join(err[-3:])[:400]}
     except Exception as e:  # noqa: BLE001 — configs are best-effort
         return {f"config{name}_error": str(e)[:200]}
 
@@ -296,7 +320,7 @@ def main():
     # NOTE: no jax import here — initializing the backend in this parent
     # would hold the chip while the per-config subprocesses need it
     detail = {}
-    for name in ("2b", "1", "2", "3", "4", "5"):
+    for name in ("2b", "1", "2", "3", "4a", "4b", "5"):
         detail.update(_run_subprocess(name))
 
     p50 = detail.get("sd15_512_p50_s")

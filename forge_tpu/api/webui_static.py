@@ -302,6 +302,10 @@ function genPanel(mode){
   <fieldset><legend>Prompt</legend>
     <textarea id="${m}-prompt" placeholder="prompt — supports (emphasis:1.2), [a:b:0.5] editing, AND, <lora:name:w>"></textarea>
     <textarea id="${m}-negative" placeholder="negative prompt" style="min-height:40px"></textarea>
+    <div class="row"><label>Styles</label>
+      <select id="${m}-styles" multiple size="1" class="grow" title="ctrl-click to select multiple styles"></select>
+      <button id="${m}-style-save" title="Save current prompts as a style">&#128190;</button>
+    </div>
     <details><summary>Extra networks</summary>
       <div class="row small" id="${m}-networks">no LoRAs / embeddings found</div>
     </details>
@@ -407,6 +411,16 @@ async function loadLists(){
     const o=await api("/sdapi/v1/options");
     if(o.sd_model_checkpoint)$("#sd-model").value=o.sd_model_checkpoint;
   }catch(e){toast("list load failed: "+e.message,false);}
+  loadStyles();
+}
+async function loadStyles(){
+  try{
+    const styles=await api("/sdapi/v1/prompt-styles");
+    for(const m of ["txt2img","img2img"]){
+      const sel=$(`#${m}-styles`);const prev=[...sel.selectedOptions].map(o=>o.value);
+      sel.innerHTML=styles.map(s=>`<option${prev.includes(s.name)?" selected":""}>${s.name}</option>`).join("");
+    }
+  }catch(e){}
 }
 loadLists();
 $("#refresh-models").onclick=async()=>{await api("/sdapi/v1/refresh-checkpoints",{});loadLists();};
@@ -461,6 +475,43 @@ async function loadNetworks(){
   }
 }
 loadNetworks();
+
+/* ------- edit-attention: ctrl+up/down adjusts (text:1.1) emphasis around
+   the cursor (reference javascript/edit-attention.js) ------- */
+function editAttention(ta,delta){
+  const text=ta.value;let s=ta.selectionStart,e=ta.selectionEnd;
+  if(s===e){ // no selection: use enclosing (...) group, else word at cursor
+    let open=-1,depth=0;
+    for(let i=s-1;i>=0;i--){const c=text[i];
+      if(c===")")depth++;else if(c==="("){if(depth===0){open=i;break}depth--;}}
+    let close=-1;depth=0;
+    for(let i=e;i<text.length;i++){const c=text[i];
+      if(c==="(")depth++;else if(c===")"){if(depth===0){close=i;break}depth--;}}
+    if(open>=0&&close>=0){s=open;e=close+1;}
+    else{ // word boundaries
+      while(s>0&&!/[\s,()]/.test(text[s-1]))s--;
+      while(e<text.length&&!/[\s,()]/.test(text[e]))e++;
+      if(s===e)return;
+    }
+  }
+  let frag=text.slice(s,e),weight=1.0,inner=frag;
+  const m=frag.match(/^\(([\s\S]*):([\d.]+)\)$/);
+  if(m){inner=m[1];weight=parseFloat(m[2]);}
+  else if(/^\([\s\S]*\)$/.test(frag)){inner=frag.slice(1,-1);weight=1.1;}
+  weight=Math.max(0,Math.round((weight+delta)*100)/100);
+  const rep=Math.abs(weight-1.0)<1e-9?inner:`(${inner}:${weight})`;
+  ta.value=text.slice(0,s)+rep+text.slice(e);
+  ta.selectionStart=s;ta.selectionEnd=s+rep.length;
+  ta.dispatchEvent(new Event("input",{bubbles:true}));
+}
+document.addEventListener("keydown",e=>{
+  if(!(e.ctrlKey||e.metaKey))return;
+  if(e.key!=="ArrowUp"&&e.key!=="ArrowDown")return;
+  const ta=document.activeElement;
+  if(!ta||ta.tagName!=="TEXTAREA")return;
+  e.preventDefault();
+  editAttention(ta,e.key==="ArrowUp"?0.1:-0.1);
+});
 $("#sd-model").onchange=async()=>{
   $("#model-status").textContent="loading…";
   try{await api("/sdapi/v1/options",{sd_model_checkpoint:$("#sd-model").value});
@@ -548,6 +599,7 @@ function payloadFor(m){
     batch_size:+v("batch"),n_iter:+v("niter"),
     seed:+v("seed"),subseed:+v("subseed"),subseed_strength:+v("substrength"),
     clip_skip:+v("clipskip"),
+    styles:[...$(`#${m}-styles`).selectedOptions].map(o=>o.value),
   };
   if(m==="txt2img"){
     if($(`#${m}-hr-enable`).checked){
@@ -601,6 +653,12 @@ for(const m of ["txt2img","img2img"]){
     finally{stopPolling(m);btn.disabled=false;btn.textContent="Generate";}
   };
   $(`#${m}-interrupt`).onclick=()=>api("/sdapi/v1/interrupt",{});
+  $(`#${m}-style-save`).onclick=async()=>{
+    const name=prompt("Style name:");if(!name)return;
+    await api("/sdapi/v1/prompt-styles",{name,prompt:$(`#${m}-prompt`).value,
+      negative_prompt:$(`#${m}-negative`).value});
+    toast("style saved");loadStyles();
+  };
   $(`#${m}-skip`).onclick=()=>api("/sdapi/v1/skip",{});
   $(`#${m}-reuse-seed`).onclick=()=>{$(`#${m}-seed`).value=stateImgs[m].lastSeed;};
   $(`#${m}-send-i2i`).onclick=()=>{

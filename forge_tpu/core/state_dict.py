@@ -286,6 +286,18 @@ def replace_prefix(sd: Mapping[str, Any], old: str, new: str) -> Dict[str, Any]:
     return {(new + k[len(old):] if k.startswith(old) else k): v for k, v in sd.items()}
 
 
+def as_device_tree(tree):
+    """numpy leaves → device arrays (dtype-preserving). Trees that are
+    passed as jit ARGUMENTS must live on device: jax re-transfers numpy
+    arguments on every call — through the axon tunnel that turned a
+    ControlNet generation into a 1 GiB-per-image upload."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, tree)
+
+
 def transform_for_jax(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Transpose torch conv kernels OIHW → HWIO for NHWC convolution.
     Linear weights stay [out, in] (ops/nn.py contracts accordingly), so the

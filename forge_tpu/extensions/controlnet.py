@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Mapping, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.state_dict import load_state_dict, transform_for_jax
+from ..core.state_dict import as_device_tree, load_state_dict, transform_for_jax
 from ..core.tree import nest
 from ..models.controlnet import ControlNetState
 from ..models.t2i_adapter import T2IAdapterState, detect_adapter_config
@@ -81,13 +81,16 @@ def load_control_model(path: str):
         kind = "control_lora"
         _MODEL_CACHE[path] = (kind, sd, None, digest)
         return _MODEL_CACHE[path]
+    # device-resident: ControlNetState.params travel as jit ARGUMENTS, and
+    # jax re-uploads numpy arguments on every call (core/state_dict.py
+    # as_device_tree) — measured 40 s/image for an SDXL cldm over the tunnel
     if any(k.startswith("input_hint_block") for k in sd):
         kind = "controlnet"
-        params = nest(transform_for_jax(sd))
+        params = as_device_tree(nest(transform_for_jax(sd)))
         cfg = _cn_config(sd)
     elif "conv_in.weight" in sd and any(k.startswith("body.") for k in sd):
         kind = "t2i_adapter"
-        params = nest(transform_for_jax(sd))
+        params = as_device_tree(nest(transform_for_jax(sd)))
         cfg = detect_adapter_config(params)
     else:
         raise ValueError(f"unrecognized control model format: {path}")

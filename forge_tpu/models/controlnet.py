@@ -47,7 +47,13 @@ def controlnet_apply(
         v = nn.linear(nn.silu(v), le["2"])
         emb = emb + v
 
-    # input hint stack: conv/silu ladder downsampling 8× to latent resolution
+    # input hint stack: conv/silu ladder downsampling 8× to latent resolution.
+    # Normalize grayscale hints to HWC3 first (the reference runs every
+    # annotator output through HWC3, annotator/util.py).
+    if hint.ndim == 3:
+        hint = hint[..., None]
+    if hint.shape[-1] == 1:
+        hint = jnp.broadcast_to(hint, hint.shape[:-1] + (3,))
     guided = _hint_stack(params["input_hint_block"], hint)
 
     outs: List[jax.Array] = []

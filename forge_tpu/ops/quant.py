@@ -139,7 +139,11 @@ def quantize_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> Dict[str, Any]:
     absmax = np.abs(blocks).max(axis=1)
     absmax_safe = np.where(absmax == 0, 1.0, absmax)
     normed = blocks / absmax_safe[:, None]
-    idx = np.abs(normed[..., None] - NF4_CODE).argmin(axis=-1).astype(np.uint8)
+    # nearest code via searchsorted over midpoints (table is sorted): same
+    # result as argmin over |normed - code| with 16x less memory traffic —
+    # matters when quantizing a 12B-param Flux on the 1-core host
+    mids = (NF4_CODE[:-1] + NF4_CODE[1:]) * 0.5
+    idx = np.searchsorted(mids, normed, side="left").astype(np.uint8)
     packed = (idx[:, 0::2] << 4) | idx[:, 1::2]
     return {
         "kind": "nf4",

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.state_dict import load_state_dict, transform_for_jax
+from ..core.state_dict import as_device_tree, load_state_dict, transform_for_jax
 from ..core.tree import nest
 from ..ops import nn
 from ..ops.attention import attention
@@ -29,7 +29,7 @@ from ..ops.attention import attention
 
 def load_ip_adapter(path_or_sd) -> Dict[str, Any]:
     sd = load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else dict(path_or_sd)
-    return nest(transform_for_jax(sd))
+    return as_device_tree(nest(transform_for_jax(sd)))
 
 
 def project_image_embeds(params: Mapping[str, Any], clip_embed: jax.Array) -> jax.Array:
@@ -138,6 +138,12 @@ class IPAdapterState:
             if key not in ip_layers:
                 return base
             lp = ip_layers[key]
+            if lp["to_k_ip"]["weight"].shape[0] != q.shape[-1]:
+                raise ValueError(
+                    f"IP-Adapter layer {key}: to_k_ip out-dim "
+                    f"{lp['to_k_ip']['weight'].shape[0]} != attention width "
+                    f"{q.shape[-1]} — adapter was trained for a different "
+                    f"model family (e.g. an SD1.5 adapter on SDXL)")
 
             def kv(toks):
                 k_ip = nn.linear(toks.astype(q.dtype), {"weight": lp["to_k_ip"]["weight"]})
