@@ -152,6 +152,11 @@ def attach(p, args: Dict[str, Any], sd: Optional[Mapping[str, np.ndarray]] = Non
         from ..core.state_dict import load_state_dict, transform_for_jax
 
         sd = transform_for_jax(load_state_dict(args["model"]))
+    # weights are traced into the denoise jit closure: keep them on device
+    # so XLA gets array consts, not numpy literals to fold
+    from ..core.state_dict import as_device_tree
+
+    sd = as_device_tree(dict(sd))
     if cond_image is None:
         cond_image = np.asarray(args["image"])
     hooks = build_lllite_hooks(sd, cond_image,

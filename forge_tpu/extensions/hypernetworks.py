@@ -34,24 +34,29 @@ _ACTS = {
 
 
 def _parse_module(sd: Mapping[str, np.ndarray]) -> List[Dict[str, Any]]:
-    """One HypernetworkModule state dict → ordered layer list."""
+    """One HypernetworkModule state dict → ordered layer list. Weights go to
+    device here: the layers are traced into the denoise jit closure, and
+    numpy leaves would constant-fold into the HLO."""
+    def _dev(v):
+        return jnp.asarray(np.asarray(v, np.float32))
+
     layers: List[Dict[str, Any]] = []
     if "linear1.weight" in sd:  # old layout: exactly two linears
         for name in ("linear1", "linear2"):
             layers.append({"kind": "linear",
-                           "weight": np.asarray(sd[f"{name}.weight"], np.float32),
-                           "bias": np.asarray(sd.get(f"{name}.bias", 0), np.float32)})
+                           "weight": _dev(sd[f"{name}.weight"]),
+                           "bias": _dev(sd.get(f"{name}.bias", 0))})
         return layers
     idx = 0
     while f"linear.{idx}.weight" in sd:
-        w = np.asarray(sd[f"linear.{idx}.weight"], np.float32)
+        w = _dev(sd[f"linear.{idx}.weight"])
         b = sd.get(f"linear.{idx}.bias")
         if w.ndim == 2:
             layers.append({"kind": "linear", "weight": w,
-                           "bias": np.asarray(b, np.float32) if b is not None else None})
+                           "bias": _dev(b) if b is not None else None})
         else:  # 1-D weight → LayerNorm
             layers.append({"kind": "layernorm", "weight": w,
-                           "bias": np.asarray(b, np.float32)})
+                           "bias": _dev(b)})
         idx += 1
     return layers
 
