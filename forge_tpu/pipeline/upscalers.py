@@ -210,16 +210,18 @@ class UpscalerRegistry:
             params = load_hat(path)
             meta = infer_hat_meta(params)
             model_scale = meta["scale"]
-            apply_fn = jax.jit(lambda t: hat_apply(params, t, **meta))
+            _jf = jax.jit(lambda p, t: hat_apply(p, t, **meta))
+            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         elif any("residual_group" in k for k in raw):
             from ..models.swinir import infer_swinir_meta, load_swinir, swinir_apply
 
             params = load_swinir(path)
             meta = infer_swinir_meta(params)
             model_scale = meta["scale"]
-            apply_fn = jax.jit(lambda t: swinir_apply(
-                params, t, window_size=meta["window_size"],
+            _jf = jax.jit(lambda p, t: swinir_apply(
+                p, t, window_size=meta["window_size"],
                 heads=meta["heads"], scale=model_scale))
+            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         elif any("spatial_interaction" in k for k in raw) and any(
                 k.startswith("before_RG") for k in raw):
             from ..models.dat import dat_apply, infer_dat_meta, load_dat
@@ -227,20 +229,25 @@ class UpscalerRegistry:
             params = load_dat(path)
             meta = infer_dat_meta(params)
             model_scale = meta["scale"]
-            apply_fn = jax.jit(lambda t: dat_apply(params, t, heads=meta["heads"],
-                                                   scale=model_scale))
+            _jf = jax.jit(lambda p, t: dat_apply(p, t, heads=meta["heads"],
+                                                 scale=model_scale))
+            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         elif any("trans_block.msa" in k for k in raw):
             from ..models.scunet import infer_scunet_meta, load_scunet, scunet_apply
 
             params = load_scunet(path)
             meta = infer_scunet_meta(params)
             model_scale = 1  # SCUNet denoises at native resolution
-            apply_fn = jax.jit(lambda t: scunet_apply(params, t, **meta))
+            _jf = jax.jit(lambda p, t: scunet_apply(p, t, **meta))
+            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         else:
+            from ..core.state_dict import as_device_tree
+
             sd = convert_esrgan_keys(raw)
-            params = nest(transform_for_jax(sd))
+            params = as_device_tree(nest(transform_for_jax(sd)))
             model_scale = 4
-            apply_fn = jax.jit(lambda t: rrdbnet_apply(params, t, model_scale))
+            _jf = jax.jit(lambda p, t: rrdbnet_apply(p, t, model_scale))
+            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         self._gan_cache[path] = (apply_fn, model_scale)
         return self._gan_cache[path]
 
