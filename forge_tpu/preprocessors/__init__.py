@@ -257,3 +257,7 @@ try:
     from . import normalbae  # noqa: F401
 except Exception:  # pragma: no cover
     pass
+try:
+    from . import uniformer  # noqa: F401
+except Exception:  # pragma: no cover
+    pass

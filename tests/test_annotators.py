@@ -592,3 +592,156 @@ def test_normalbae_synthetic():
     norms = np.linalg.norm(out[..., :3], axis=-1)
     assert np.allclose(norms, 1.0, atol=1e-4)       # unit normals
     assert out[..., 3].min() >= 0.01                # kappa floor
+
+
+# ---------------------------------------------------------------------------
+# UniFormer + UPerHead seg annotator
+
+
+def _stub_uniformer_deps():
+    """timm + mmseg/mmcv shims so the reference uniformer.py executes."""
+    timm = types.ModuleType("timm")
+    tml = types.ModuleType("timm.models")
+    tly = types.ModuleType("timm.models.layers")
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tly.DropPath = DropPath
+    tly.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+    tly.trunc_normal_ = lambda t, std=0.02: torch.nn.init.trunc_normal_(t, std=std)
+    timm.models = tml
+    tml.layers = tly
+    sys.modules.setdefault("timm", timm)
+    sys.modules["timm.models"] = tml
+    sys.modules["timm.models.layers"] = tly
+
+    mmseg_utils = types.ModuleType("mmseg.utils")
+    mmseg_utils.get_root_logger = lambda *a, **k: None
+    mmseg_builder = types.ModuleType("mmseg.models.builder")
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    mmseg_builder.BACKBONES = _Registry()
+    mmseg = types.ModuleType("mmseg")
+    mmseg_models = types.ModuleType("mmseg.models")
+    sys.modules.setdefault("mmseg", mmseg)
+    sys.modules["mmseg.utils"] = mmseg_utils
+    sys.modules["mmseg.models"] = mmseg_models
+    sys.modules["mmseg.models.builder"] = mmseg_builder
+
+    mmcv_custom = types.ModuleType("annotator.uniformer.mmcv_custom")
+    mmcv_custom.load_checkpoint = lambda *a, **k: None
+    pkg = types.ModuleType("annotator.uniformer")
+    pkg.__path__ = [os.path.join(REF, "annotator/uniformer")]
+    sys.modules.setdefault("annotator.uniformer", pkg)
+    sys.modules["annotator.uniformer.mmcv_custom"] = mmcv_custom
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+def test_uniformer_backbone_parity():
+    from forge_tpu.preprocessors.uniformer import uniformer_features
+
+    _stub_uniformer_deps()
+    ref = _load_ref_module("annotator/uniformer/uniformer.py", "ref_uniformer")
+    torch.manual_seed(3)
+    net = ref.UniFormer(layers=[1, 1, 1, 1], embed_dim=[8, 16, 32, 64],
+                        head_dim=16, drop_path_rate=0.0)
+    net.eval()
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        want = [t.numpy() for t in net(x)]
+    params = _to_jax(net.state_dict())
+    got = uniformer_features(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    for w, g in zip(want, got):
+        g = np.asarray(g).transpose(0, 3, 1, 2)
+        assert w.shape == g.shape
+        # f32 rounding accumulates through 4 stages of BN/LN/attention
+        assert np.abs(w - g).max() < 3e-4, np.abs(w - g).max()
+
+
+class _TorchUPerHead(torch.nn.Module):
+    """Independent torch twin of mmseg UPerHead (uper_head.py, eval path)."""
+
+    def __init__(self, in_channels=(8, 16, 32, 64), channels=16, num_classes=7,
+                 pool_scales=(1, 2, 3, 6)):
+        super().__init__()
+        tnn = torch.nn
+
+        def cm(cin, cout, k):
+            return tnn.Sequential(
+                tnn.Conv2d(cin, cout, k, padding=k // 2, bias=False),
+                tnn.BatchNorm2d(cout), tnn.ReLU(inplace=True))
+
+        self.pool_scales = pool_scales
+        self.psp_modules = tnn.ModuleList(
+            [tnn.Sequential(tnn.AdaptiveAvgPool2d(s),
+                            cm(in_channels[-1], channels, 1))
+             for s in pool_scales])
+        self.bottleneck = cm(in_channels[-1] + len(pool_scales) * channels,
+                             channels, 3)
+        self.lateral_convs = tnn.ModuleList(
+            [cm(c, channels, 1) for c in in_channels[:-1]])
+        self.fpn_convs = tnn.ModuleList(
+            [cm(channels, channels, 3) for _ in in_channels[:-1]])
+        self.fpn_bottleneck = cm(len(in_channels) * channels, channels, 3)
+        self.conv_seg = tnn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, feats):
+        import torch.nn.functional as F
+
+        def up(t, size):
+            return F.interpolate(t, size=size, mode="bilinear",
+                                 align_corners=False)
+
+        top = feats[-1]
+        psp = [top] + [up(m(top), top.shape[2:]) for m in self.psp_modules]
+        lats = [m(feats[i]) for i, m in enumerate(self.lateral_convs)]
+        lats.append(self.bottleneck(torch.cat(psp, 1)))
+        for i in range(len(lats) - 1, 0, -1):
+            lats[i - 1] = lats[i - 1] + up(lats[i], lats[i - 1].shape[2:])
+        fpn = [m(lats[i]) for i, m in enumerate(self.fpn_convs)] + [lats[-1]]
+        fpn = [up(f, fpn[0].shape[2:]) for f in fpn]
+        return self.conv_seg(self.fpn_bottleneck(torch.cat(fpn, 1)))
+
+
+def test_upernet_head_parity():
+    from forge_tpu.preprocessors.uniformer import upernet_apply
+
+    torch.manual_seed(4)
+    net = _TorchUPerHead()
+    net.eval()
+    # remap Sequential indices to the mmseg key layout the JAX side expects
+    # (ConvModule stores .conv/.bn; psp_modules.N.1 is the ConvModule)
+    sd = {}
+    for k, v in net.state_dict().items():
+        k = (k.replace(".0.weight", ".conv.weight")
+             .replace(".1.weight", ".bn.weight").replace(".1.bias", ".bn.bias")
+             .replace(".1.running_mean", ".bn.running_mean")
+             .replace(".1.running_var", ".bn.running_var")
+             .replace(".1.num_batches_tracked", ".bn.num_batches_tracked"))
+        if k.startswith("psp_modules."):
+            # psp_modules.N.1.<conv|bn>... : keep the ".1" Sequential level
+            parts = k.split(".")
+            k = ".".join(parts[:2] + ["1"] + parts[2:]) \
+                if parts[2] in ("conv", "bn") else k
+        sd[k] = v.numpy()
+    sd = {k: v for k, v in sd.items() if "num_batches_tracked" not in k}
+    params = nest({k: jnp.asarray(v) for k, v in transform_for_jax(sd).items()})
+
+    r = np.random.default_rng(5)
+    feats_np = [r.standard_normal((1, s, s, c)).astype(np.float32)
+                for s, c in ((16, 8), (8, 16), (4, 32), (2, 64))]
+    with torch.no_grad():
+        want = net([torch.from_numpy(f.transpose(0, 3, 1, 2))
+                    for f in feats_np]).numpy()
+    got = np.asarray(upernet_apply(params, [jnp.asarray(f) for f in feats_np]))
+    got = got.transpose(0, 3, 1, 2)
+    assert want.shape == got.shape
+    assert np.abs(want - got).max() < 1e-4, np.abs(want - got).max()
