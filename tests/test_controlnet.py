@@ -172,6 +172,12 @@ def test_api_unit_attach(tmp_path, engine, cn_params):
         assert n == 1
         p.controlnets[0].cfg = CN_CFG
         assert p.controlnets[0].digest
+        # regression: params must be device arrays — numpy leaves are
+        # re-uploaded by jax on every dispatch (40 s/image over the tunnel)
+        import jax as _jax
+
+        for leaf in _jax.tree.leaves(p.controlnets[0].params):
+            assert isinstance(leaf, _jax.Array), type(leaf)
         out = process_images(engine, p)
         base = process_images(engine, Processing(
             prompt="cat", seed=3, steps=3, width=32, height=32, sampler_name="Euler"))
