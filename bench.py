@@ -136,9 +136,14 @@ def config3():
     save_safetensors(lora_sd, os.path.join(tmp, "bench.safetensors"))
     eng.lora_registry = LoraRegistry([tmp])
 
+    import jax
+    import jax.numpy as jnp
+
     from forge_tpu.core.state_dict import as_device_tree
 
-    cn = as_device_tree(nest(transform_for_jax(synth_controlnet_sd(fill="zeros"))))
+    storage = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    cn = as_device_tree(nest(transform_for_jax(synth_controlnet_sd(fill="zeros"))),
+                        dtype=storage)
     init = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.uint8)
     hint = np.repeat(canny(init)[..., None], 3, -1)[None].astype(np.float32) / 255.0
     mask = np.zeros((1024, 1024), np.float32)
@@ -150,7 +155,7 @@ def config3():
                    init_images=[init], denoising_strength=0.6,
                    inpaint_mask=mask)
     p.controlnets = [ControlNetState(
-        params=cn, hint=np.asarray(hint), strength=1.0,
+        params=cn, hint=jnp.asarray(hint), strength=1.0,
         cfg=UNetConfig(context_dim=2048, num_heads=10), digest="benchcn")]
     p50, compile_s, _ = _measure(eng, p, runs=2)
     return {"sdxl_lora_cn_inpaint_20step_p50_s": round(p50, 4),

@@ -286,16 +286,27 @@ def replace_prefix(sd: Mapping[str, Any], old: str, new: str) -> Dict[str, Any]:
     return {(new + k[len(old):] if k.startswith(old) else k): v for k, v in sd.items()}
 
 
-def as_device_tree(tree):
-    """numpy leaves → device arrays (dtype-preserving). Trees that are
-    passed as jit ARGUMENTS must live on device: jax re-transfers numpy
-    arguments on every call — through the axon tunnel that turned a
-    ControlNet generation into a 1 GiB-per-image upload."""
+def as_device_tree(tree, dtype=None):
+    """numpy leaves → device arrays (dtype-preserving by default). Trees
+    that are passed as jit ARGUMENTS must live on device: jax re-transfers
+    numpy arguments on every call — through the axon tunnel that turned a
+    ControlNet generation into a 1 GiB-per-image upload.
+
+    With `dtype`, float leaves are cast to it (the storage-dtype policy for
+    auxiliary nets: an f32 SDXL ControlNet tree is ~5 GB of HBM where the
+    bf16 UNet it rides on is half that, and mixed-dtype matmuls defeat the
+    MXU's bf16 path)."""
     import jax
     import jax.numpy as jnp
 
-    return jax.tree.map(
-        lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, tree)
+    def put(v):
+        if not isinstance(v, np.ndarray):
+            return v
+        if dtype is not None and np.issubdtype(v.dtype, np.floating):
+            return jnp.asarray(v, dtype)
+        return jnp.asarray(v)
+
+    return jax.tree.map(put, tree)
 
 
 def transform_for_jax(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:

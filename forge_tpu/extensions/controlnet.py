@@ -84,13 +84,17 @@ def load_control_model(path: str):
     # device-resident: ControlNetState.params travel as jit ARGUMENTS, and
     # jax re-uploads numpy arguments on every call (core/state_dict.py
     # as_device_tree) — measured 40 s/image for an SDXL cldm over the tunnel
+    import jax
+    import jax.numpy as jnp
+
+    storage = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     if any(k.startswith("input_hint_block") for k in sd):
         kind = "controlnet"
-        params = as_device_tree(nest(transform_for_jax(sd)))
+        params = as_device_tree(nest(transform_for_jax(sd)), dtype=storage)
         cfg = _cn_config(sd)
     elif "conv_in.weight" in sd and any(k.startswith("body.") for k in sd):
         kind = "t2i_adapter"
-        params = as_device_tree(nest(transform_for_jax(sd)))
+        params = as_device_tree(nest(transform_for_jax(sd)), dtype=storage)
         cfg = detect_adapter_config(params)
     else:
         raise ValueError(f"unrecognized control model format: {path}")

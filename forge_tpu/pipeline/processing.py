@@ -767,8 +767,7 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
         seeds=p.all_seeds,
         subseeds=p.all_subseeds,
         infotexts=infotexts,
-        params={k: v for k, v in dataclasses.asdict(p).items()
-                if k not in ("scripts", "unet_hooks", "controlnets", "init_images", "inpaint_mask")},
+        params=_simple_params(p),
         timings=timings,
     )
     if runner is not None:
@@ -785,6 +784,29 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
             write_params_txt(infotexts[0])
     return processed
+
+
+def _simple_params(p: Processing) -> Dict[str, Any]:
+    """JSON-simple record of the request for Processed.params.
+
+    NEVER dataclasses.asdict(p): asdict deep-copies every field, and
+    deep-copying a jax.Array dispatches an on-device copy — with a
+    ControlNet tree attached that duplicated ~2.5 GB on the chip and
+    OOMed the compile (bench config3). Keep only plain scalar/str
+    fields and shallow copies of simple containers."""
+    out: Dict[str, Any] = {}
+    for f in dataclasses.fields(p):
+        v = getattr(p, f.name)
+        if v is None or isinstance(v, (bool, int, float, str)):
+            out[f.name] = v
+        elif isinstance(v, (list, tuple)) and all(
+                x is None or isinstance(x, (bool, int, float, str)) for x in v):
+            out[f.name] = list(v)
+        elif isinstance(v, dict) and all(
+                x is None or isinstance(x, (bool, int, float, str))
+                for x in v.values()):
+            out[f.name] = dict(v)
+    return out
 
 
 def _tree_bytes(tree) -> int:
