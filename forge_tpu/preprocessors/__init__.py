@@ -37,6 +37,10 @@ class Preprocessor:
     slider_b: Optional[tuple] = None
     resolution_default: int = 512
     tags: tuple = ()
+    # model-based annotators register unconditionally (the reference lists
+    # every annotator and fetches weights on first use); calling one without
+    # its checkpoint raises a RuntimeError naming the expected directory
+    needs_weights: bool = False
 
     def __call__(self, img: np.ndarray, res: int = 512,
                  threshold_a: float = 0.0, threshold_b: float = 0.0) -> np.ndarray:

@@ -169,9 +169,9 @@ def _anime_face(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_anime_face().available:
-        register(Preprocessor("seg_anime_face", _anime_face, tags=("Segmentation",)),
-                 aliases=("anime_face_segment",))
+    register(Preprocessor("seg_anime_face", _anime_face, tags=("Segmentation",),
+                          needs_weights=True),
+             aliases=("anime_face_segment",))
 
 
 _register()

@@ -201,9 +201,9 @@ def _depth_midas(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_midas().available:
-        register(Preprocessor("depth_midas", _depth_midas, tags=("Depth",)),
-                 aliases=("depth", "depth_midas (MiDaS)"))
+    register(Preprocessor("depth_midas", _depth_midas, tags=("Depth",),
+                          needs_weights=True),
+             aliases=("depth", "depth_midas (MiDaS)"))
 
 
 _register()

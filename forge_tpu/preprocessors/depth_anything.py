@@ -213,9 +213,9 @@ def _depth_anything(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_depth_anything().available:
-        register(Preprocessor("depth_anything_v2", _depth_anything,
-                              tags=("Depth",)), aliases=("depth_anything",))
+    register(Preprocessor("depth_anything_v2", _depth_anything,
+                          tags=("Depth",), needs_weights=True),
+             aliases=("depth_anything",))
 
 
 _register()

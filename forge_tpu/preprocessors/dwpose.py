@@ -261,9 +261,9 @@ def _dwpose(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_dwpose().available:
-        register(Preprocessor("dw_openpose_full", _dwpose, tags=("OpenPose",)),
-                 aliases=("dwpose",))
+    register(Preprocessor("dw_openpose_full", _dwpose, tags=("OpenPose",),
+                          needs_weights=True),
+             aliases=("dwpose",))
 
 
 _register()

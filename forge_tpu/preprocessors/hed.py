@@ -130,12 +130,12 @@ def _scribble_hed(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_hed().available:
-        register(Preprocessor("softedge_hed", _softedge_hed, tags=("SoftEdge",)),
-                 aliases=("hed",))
-        register(Preprocessor("softedge_hedsafe", _softedge_hedsafe,
-                              tags=("SoftEdge",)))
-        register(Preprocessor("scribble_hed", _scribble_hed, tags=("Scribble",)))
+    register(Preprocessor("softedge_hed", _softedge_hed, tags=("SoftEdge",),
+                          needs_weights=True), aliases=("hed",))
+    register(Preprocessor("softedge_hedsafe", _softedge_hedsafe,
+                          tags=("SoftEdge",), needs_weights=True))
+    register(Preprocessor("scribble_hed", _scribble_hed, tags=("Scribble",),
+                          needs_weights=True))
 
 
 _register()

@@ -182,12 +182,11 @@ def _leres(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_leres().available:
-        register(Preprocessor(
-            "depth_leres", _leres,
-            slider_a=("Remove Near %", 0, 100, 0),
-            slider_b=("Remove Background %", 0, 100, 0),
-            tags=("Depth",)), aliases=("leres",))
+    register(Preprocessor(
+        "depth_leres", _leres,
+        slider_a=("Remove Near %", 0, 100, 0),
+        slider_b=("Remove Background %", 0, 100, 0),
+        tags=("Depth",), needs_weights=True), aliases=("leres",))
 
 
 _register()

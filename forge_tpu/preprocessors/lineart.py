@@ -185,15 +185,13 @@ def _make_call(kind, invert=True):
 def _register():
     from . import Preprocessor, register
 
-    if get_lineart("realistic").available:
-        register(Preprocessor("lineart_realistic", _make_call("realistic"),
-                              tags=("Lineart",)), aliases=("lineart",))
-    if get_lineart("coarse").available:
-        register(Preprocessor("lineart_coarse", _make_call("coarse"),
-                              tags=("Lineart",)))
-    if get_lineart("anime").available:
-        register(Preprocessor("lineart_anime", _make_call("anime"),
-                              tags=("Lineart",)))
+    register(Preprocessor("lineart_realistic", _make_call("realistic"),
+                          tags=("Lineart",), needs_weights=True),
+             aliases=("lineart",))
+    register(Preprocessor("lineart_coarse", _make_call("coarse"),
+                          tags=("Lineart",), needs_weights=True))
+    register(Preprocessor("lineart_anime", _make_call("anime"),
+                          tags=("Lineart",), needs_weights=True))
 
 
 _register()

@@ -164,9 +164,9 @@ def _manga_line(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_manga_line().available:
-        register(Preprocessor("lineart_anime_denoise", _manga_line,
-                              tags=("Lineart",)), aliases=("manga_line",))
+    register(Preprocessor("lineart_anime_denoise", _manga_line,
+                          tags=("Lineart",), needs_weights=True),
+             aliases=("manga_line",))
 
 
 _register()

@@ -226,12 +226,11 @@ def _mlsd(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_mlsd().available:
-        register(Preprocessor(
-            "mlsd", _mlsd,
-            slider_a=("Value Threshold", 0.01, 2.0, 0.1),
-            slider_b=("Distance Threshold", 0.01, 20.0, 0.1),
-            tags=("MLSD",)))
+    register(Preprocessor(
+        "mlsd", _mlsd,
+        slider_a=("Value Threshold", 0.01, 2.0, 0.1),
+        slider_b=("Distance Threshold", 0.01, 20.0, 0.1),
+        tags=("MLSD",), needs_weights=True))
 
 
 _register()

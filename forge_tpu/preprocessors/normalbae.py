@@ -212,9 +212,9 @@ def _normalbae(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_normalbae().available:
-        register(Preprocessor("normalbae", _normalbae, tags=("NormalMap",)),
-                 aliases=("normal_bae",))
+    register(Preprocessor("normalbae", _normalbae, tags=("NormalMap",),
+                          needs_weights=True),
+             aliases=("normal_bae",))
 
 
 _register()

@@ -552,23 +552,18 @@ def _make_openpose(hand: bool, face: bool, body: bool = True):
 def _register():
     from . import Preprocessor, register
 
-    det = get_openpose()
-    if not det.available:
-        return
     register(Preprocessor("openpose", _make_openpose(False, False),
-                          tags=("OpenPose",)), aliases=("openpose (body)",))
-    if det.hand_available:
-        register(Preprocessor("openpose_hand", _make_openpose(True, False),
-                              tags=("OpenPose",)))
-    if det.face_available:
-        register(Preprocessor("openpose_face", _make_openpose(False, True),
-                              tags=("OpenPose",)))
-        register(Preprocessor("openpose_faceonly",
-                              _make_openpose(False, True, body=False),
-                              tags=("OpenPose",)))
-    if det.hand_available and det.face_available:
-        register(Preprocessor("openpose_full", _make_openpose(True, True),
-                              tags=("OpenPose",)))
+                          tags=("OpenPose",), needs_weights=True),
+             aliases=("openpose (body)",))
+    register(Preprocessor("openpose_hand", _make_openpose(True, False),
+                          tags=("OpenPose",), needs_weights=True))
+    register(Preprocessor("openpose_face", _make_openpose(False, True),
+                          tags=("OpenPose",), needs_weights=True))
+    register(Preprocessor("openpose_faceonly",
+                          _make_openpose(False, True, body=False),
+                          tags=("OpenPose",), needs_weights=True))
+    register(Preprocessor("openpose_full", _make_openpose(True, True),
+                          tags=("OpenPose",), needs_weights=True))
 
 
 _register()

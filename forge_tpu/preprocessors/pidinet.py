@@ -195,11 +195,12 @@ def _scribble(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_pidinet().available:
-        register(Preprocessor("softedge_pidinet", _softedge, tags=("SoftEdge",)),
-                 aliases=("pidinet",))
-        register(Preprocessor("softedge_pidisafe", _softedge_safe, tags=("SoftEdge",)))
-        register(Preprocessor("scribble_pidinet", _scribble, tags=("Scribble",)))
+    register(Preprocessor("softedge_pidinet", _softedge, tags=("SoftEdge",),
+                          needs_weights=True), aliases=("pidinet",))
+    register(Preprocessor("softedge_pidisafe", _softedge_safe,
+                          tags=("SoftEdge",), needs_weights=True))
+    register(Preprocessor("scribble_pidinet", _scribble, tags=("Scribble",),
+                          needs_weights=True))
 
 
 _register()

@@ -150,10 +150,10 @@ def _teed(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_teed().available:
-        register(Preprocessor("softedge_teed", _teed,
-                              slider_a=("Safe Steps", 0, 10, 2),
-                              tags=("SoftEdge",)), aliases=("teed",))
+    register(Preprocessor("softedge_teed", _teed,
+                          slider_a=("Safe Steps", 0, 10, 2),
+                          tags=("SoftEdge",), needs_weights=True),
+             aliases=("teed",))
 
 
 _register()

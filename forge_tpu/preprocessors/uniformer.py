@@ -290,9 +290,9 @@ def _seg(img, res, a, b):
 def _register():
     from . import Preprocessor, register
 
-    if get_uniformer().available:
-        register(Preprocessor("seg_ufade20k", _seg, tags=("Segmentation",)),
-                 aliases=("segmentation", "seg"))
+    register(Preprocessor("seg_ufade20k", _seg, tags=("Segmentation",),
+                          needs_weights=True),
+             aliases=("segmentation", "seg"))
 
 
 _register()

@@ -598,11 +598,21 @@ def test_normalbae_synthetic():
 # UniFormer + UPerHead seg annotator
 
 
+def _mod(name):
+    """Stub module with a real ModuleSpec: a bare ModuleType leaves
+    __spec__=None, which makes importlib.util.find_spec(name) raise for
+    every *later* test that probes optional deps (transformers does
+    find_spec("timm") when listing models)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _stub_uniformer_deps():
     """timm + mmseg/mmcv shims so the reference uniformer.py executes."""
-    timm = types.ModuleType("timm")
-    tml = types.ModuleType("timm.models")
-    tly = types.ModuleType("timm.models.layers")
+    timm = _mod("timm")
+    tml = _mod("timm.models")
+    tly = _mod("timm.models.layers")
 
     class DropPath(torch.nn.Module):
         def __init__(self, drop_prob=0.0):
@@ -620,25 +630,25 @@ def _stub_uniformer_deps():
     sys.modules["timm.models"] = tml
     sys.modules["timm.models.layers"] = tly
 
-    mmseg_utils = types.ModuleType("mmseg.utils")
+    mmseg_utils = _mod("mmseg.utils")
     mmseg_utils.get_root_logger = lambda *a, **k: None
-    mmseg_builder = types.ModuleType("mmseg.models.builder")
+    mmseg_builder = _mod("mmseg.models.builder")
 
     class _Registry:
         def register_module(self, *a, **k):
             return lambda cls: cls
 
     mmseg_builder.BACKBONES = _Registry()
-    mmseg = types.ModuleType("mmseg")
-    mmseg_models = types.ModuleType("mmseg.models")
+    mmseg = _mod("mmseg")
+    mmseg_models = _mod("mmseg.models")
     sys.modules.setdefault("mmseg", mmseg)
     sys.modules["mmseg.utils"] = mmseg_utils
     sys.modules["mmseg.models"] = mmseg_models
     sys.modules["mmseg.models.builder"] = mmseg_builder
 
-    mmcv_custom = types.ModuleType("annotator.uniformer.mmcv_custom")
+    mmcv_custom = _mod("annotator.uniformer.mmcv_custom")
     mmcv_custom.load_checkpoint = lambda *a, **k: None
-    pkg = types.ModuleType("annotator.uniformer")
+    pkg = _mod("annotator.uniformer")
     pkg.__path__ = [os.path.join(REF, "annotator/uniformer")]
     sys.modules.setdefault("annotator.uniformer", pkg)
     sys.modules["annotator.uniformer.mmcv_custom"] = mmcv_custom

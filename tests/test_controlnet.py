@@ -200,10 +200,20 @@ def test_preprocessor_registry_contract():
 
     names = preprocessor_names()
     assert {"none", "canny", "invert", "lineart_standard"} <= set(names)
+    # model-based annotators register unconditionally (discoverable in the
+    # UI/API listing like the reference) and fail with a clear pointer to
+    # the expected weights directory when called without a checkpoint
+    assert {"depth_midas", "openpose_full", "softedge_hed", "mlsd",
+            "lineart_realistic", "normalbae", "seg_ufade20k"} <= set(names)
     img = np.zeros((64, 64, 3), np.uint8)
     img[16:48, 16:48] = 200
     for name in names:
-        out = get_preprocessor(name)(img, 64)
+        p = get_preprocessor(name)
+        if p.needs_weights:
+            with pytest.raises(RuntimeError, match="models/"):
+                p(img, 64)
+            continue
+        out = p(img, 64)
         assert out.shape == (64, 64, 3) and out.dtype == np.float32, name
         assert 0.0 <= out.min() and out.max() <= 1.0001, name
     edges = get_preprocessor("canny")(img, 64)
