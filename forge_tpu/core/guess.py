@@ -46,6 +46,23 @@ def guess(sd: Mapping[str, np.ndarray]) -> GuessResult:
     if not unet_sd and any(k.startswith("joint_blocks.") for k in keys):
         unet_sd = dict(sd)
 
+    # Recognized-but-unsupported families: fail loudly instead of falling
+    # through to the sd15 default. The reference bundles HF configs for these
+    # (backend/huggingface/Tencent-Hunyuan, stabilityai/stable-cascade) but
+    # ships NO engine either — possible_models (backend/loader.py:29) is
+    # exactly the seven families this framework implements plus the
+    # SDXL-engine riders (Kolors, Playground).
+    if any("style_embedder" in k or "text_embedding_padding" in k for k in keys):
+        raise ValueError(
+            "HunyuanDiT checkpoint recognized but not supported (no engine; "
+            "the reference webui-forge cannot run it either — its "
+            "possible_models list has no HunyuanDiT entry)")
+    if any("clip_txt_pooled_mapper" in k or "effnet_mapper" in k for k in keys):
+        raise ValueError(
+            "Stable Cascade checkpoint recognized but not supported (no "
+            "engine; the reference webui-forge cannot run it either — its "
+            "possible_models list has no Cascade entry)")
+
     if any(k.startswith("double_blocks.") for k in unet_sd):
         family = "chroma" if any("distilled_guidance_layer" in k for k in unet_sd) else "flux"
         return GuessResult(

@@ -89,3 +89,17 @@ def test_playground_latent_roundtrip():
     z = np.random.default_rng(0).standard_normal((1, 4, 4, 4)).astype(np.float32)
     back = np.asarray(PLAYGROUND.process_out(PLAYGROUND.process_in(z)))
     assert np.allclose(back, z, atol=1e-5)
+
+
+def test_guess_rejects_recognized_unsupported_families():
+    """HunyuanDiT / Stable Cascade: recognized by their marker keys and
+    rejected with a clear error instead of silently mis-loading as sd15
+    (the reference bundles their HF configs but its possible_models list,
+    backend/loader.py:29, has no engine for them either)."""
+    hunyuan = {"model.diffusion_model.style_embedder.weight":
+               np.zeros((1, 8), np.float32)}
+    with pytest.raises(ValueError, match="HunyuanDiT"):
+        guess(hunyuan)
+    cascade = {"clip_txt_pooled_mapper.weight": np.zeros((8, 8), np.float32)}
+    with pytest.raises(ValueError, match="Stable Cascade"):
+        guess(cascade)
