@@ -262,6 +262,10 @@ try:
 except Exception:  # pragma: no cover
     pass
 try:
+    from . import mediapipe_face  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:
     from . import uniformer  # noqa: F401
 except Exception:  # pragma: no cover
     pass

@@ -210,7 +210,7 @@ def test_preprocessor_registry_contract():
     for name in names:
         p = get_preprocessor(name)
         if p.needs_weights:
-            with pytest.raises(RuntimeError, match="models/"):
+            with pytest.raises(RuntimeError, match="models/|mediapipe"):
                 p(img, 64)
             continue
         out = p(img, 64)
