@@ -54,6 +54,14 @@ def controlnet_apply(
         hint = hint[..., None]
     if hint.shape[-1] == 1:
         hint = jnp.broadcast_to(hint, hint.shape[:-1] + (3,))
+    # match the current latent resolution: the hires-fix second pass (and any
+    # img2img at a different size) denoises a larger latent than the hint was
+    # prepared for; the reference re-crops/resizes the hint per sampling pass
+    # (scripts/controlnet.py crop_and_resize per process_before_every_sampling)
+    want = (x.shape[1] * 8, x.shape[2] * 8)
+    if hint.shape[1:3] != want:
+        hint = jax.image.resize(
+            hint, (hint.shape[0], want[0], want[1], hint.shape[3]), "bilinear")
     guided = _hint_stack(params["input_hint_block"], hint)
 
     outs: List[jax.Array] = []

@@ -216,3 +216,33 @@ def test_caption_space_lifecycle(tmp_path):
         mgr.terminate_all()
     finally:
         os.environ.pop("CAPTION_MODEL_ROOT", None)
+
+
+def test_illusion_space_pipeline():
+    """Bundled illusion-diffusion Space: two-pass hires flow with a
+    ControlNet riding both passes — the hint auto-resizes to the hires
+    latent (regression: used to shape-clash in the second pass)."""
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    _sys.path.insert(0, "extensions-builtin/forge_space_illusion_diffusion")
+    _sys.path.insert(0, "tests")
+    import importlib
+
+    app = importlib.import_module("forge_app")
+    from fixtures import make_tiny_engine
+    from test_controlnet import CN_CFG, make_cldm_sd
+    from forge_tpu.core.state_dict import transform_for_jax
+    from forge_tpu.core.tree import nest
+
+    cn = nest(transform_for_jax(make_cldm_sd()))
+    pipe = app.IllusionPipeline(make_tiny_engine(), cn, CN_CFG)
+    pattern = np.zeros((40, 48, 3), np.uint8)  # non-square: exercises crop
+    pattern[10:30, 10:30] = 255
+    out = pipe.run(pattern, "cat", seed=5, base_size=32, steps=2,
+                   upscaler_strength=0.6)
+    assert out.shape == (64, 64, 3)  # 2x hires target
+    weak = pipe.run(pattern, "cat", seed=5, base_size=32, steps=2,
+                    upscaler_strength=0.6, strength=0.0)
+    assert not np.array_equal(out, weak), "illusion strength had no effect"
