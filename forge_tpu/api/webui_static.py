@@ -47,6 +47,14 @@ main{padding:14px 16px}
 .cols{display:flex;gap:14px;align-items:flex-start;flex-wrap:wrap}
 .col-l{flex:1 1 520px;min-width:420px}
 .col-r{flex:1 1 420px;min-width:380px}
+/* mobile layout (reference extensions-builtin/mobile/mobile.js intent):
+   single column, finger-sized controls */
+@media (max-width:700px){
+  .col-l,.col-r{min-width:100%;flex-basis:100%}
+  button{min-height:38px}
+  nav button{padding:.5em .7em}
+  input[type=range]{min-height:28px}
+}
 fieldset{border:1px solid var(--border);border-radius:6px;margin:0 0 10px;
   padding:10px 12px;background:var(--panel)}
 legend{color:var(--dim);padding:0 6px;font-size:12px;text-transform:uppercase;
@@ -334,6 +342,7 @@ function genPanel(mode){
       <div class="row"><label>Subseed</label><input type="number" id="${m}-subseed" value="-1" style="width:140px">
       ${sliderRow(m+"-substrength","Strength",0,1,0.01,0)}</div>
     </details>
+    <details id="${m}-extraopts" class="row small" style="display:none"></details>
   </fieldset>
   ${m==="txt2img"?`
   <fieldset><legend><label><input type="checkbox" id="${m}-hr-enable"> Hires. fix</label></legend>
@@ -410,6 +419,21 @@ async function loadLists(){
       models.map(x=>`<option>${x.title}</option>`).join("");
     const o=await api("/sdapi/v1/options");
     if(o.sd_model_checkpoint)$("#sd-model").value=o.sd_model_checkpoint;
+    for(const m of ["txt2img","img2img"]){
+      /* extra-options-section equivalent (reference extensions-builtin/
+         extra-options-section): quick option controls, sent per-request
+         as override_settings */
+      const names=String(o["extra_options_"+m]||"").split(",").map(x=>x.trim()).filter(Boolean);
+      const box=$(`#${m}-extraopts`);if(!box)continue;
+      if(!names.length){box.style.display="none";continue;}
+      box.style.display="";
+      box.innerHTML="<summary>Options</summary>"+names.map(n=>{
+        const v=o[n];
+        if(typeof v==="boolean")return `<label>${n} <input type=checkbox data-opt="${n}" ${v?"checked":""}></label>`;
+        if(typeof v==="number")return `<label>${n} <input type=number step=any data-opt="${n}" value="${v}" style="width:90px"></label>`;
+        return `<label>${n} <input type=text data-opt="${n}" value="${v??""}" style="width:140px"></label>`;
+      }).join(" ");
+    }
   }catch(e){toast("list load failed: "+e.message,false);}
   loadStyles();
 }
@@ -616,6 +640,11 @@ function payloadFor(m){
     pl.inpaint_full_res=$(`#${m}-fullres`).checked;
     const mk=maskB64();if(mk)pl.mask=mk.split(",")[1];
   }
+  const ov={};
+  $$(`#${m}-extraopts [data-opt]`).forEach(el=>{
+    ov[el.dataset.opt]=el.type==="checkbox"?el.checked:
+      (el.type==="number"?+el.value:el.value);});
+  if(Object.keys(ov).length)pl.override_settings=ov;
   if($(`#${m}-cn-enable`).checked&&dropData[m+"-cn"]&&v("cn-model")){
     pl.alwayson_scripts={controlnet:{args:[{
       enabled:true,module:v("cn-module"),model:v("cn-model"),

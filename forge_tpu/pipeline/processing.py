@@ -593,6 +593,14 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
     plan = plan_generation(p.batch_size, p.height, p.width,
                            weight_bytes=_tree_bytes(engine.loaded.unet))
+    # NeverOOM (reference sd_forge_neveroom): user-forced maximum safety
+    if _opt_bool("vae_always_tiled"):
+        plan.tiled_vae = True
+    if _opt_bool("unet_always_offload") and not getattr(engine, "_offload_active", False):
+        note = engine.enable_host_offload(hbm_budget=1 << 30)
+        from ..runtime.logging import log_event as _log_ev
+
+        _log_ev("never_oom", note=note)
     if 0 < plan.batch_chunk < p.batch_size:
         chunk = plan.batch_chunk
         while p.batch_size % chunk:  # keep seed layout: chunk must divide

@@ -245,6 +245,18 @@ _DEFAULTS = {
     # registered-but-dead.
     "jit_cache_size": _O(16, "Max compiled sampler programs kept resident "
                          "(LRU; evicted executables free their HBM)", "perf"),
+    # NeverOOM equivalents (reference sd_forge_neveroom: force-maximize
+    # offload / always-tiled VAE instead of reactive OOM handling)
+    "vae_always_tiled": _O(False, "NeverOOM: always use tiled VAE decode/encode",
+                           "perf"),
+    "unet_always_offload": _O(False, "NeverOOM: maximize host offload of UNet "
+                              "weights (streams from pinned host)", "perf"),
+    # extra-options-section equivalent: option names surfaced as quick
+    # controls in the generation tabs, applied per-request as overrides
+    "extra_options_txt2img": _O("", "Options shown in the txt2img tab "
+                                "(comma-separated names)", "ui"),
+    "extra_options_img2img": _O("", "Options shown in the img2img tab "
+                                "(comma-separated names)", "ui"),
     "pad_cond_uncond": _O(False, "Pad cond/uncond to same length", "perf"),
     "persistent_cond_cache": _O(True, "Keep cond cache across generations", "perf"),
     "batch_cond_uncond": _O(True, "Batch cond+uncond in one call", "perf"),

@@ -139,3 +139,26 @@ def test_extension_manager(tmp_path):
     restore_config_state(path)
     assert opts.get("jpeg_quality") == 42
     opts.set("jpeg_quality", 80, run_onchange=False)
+
+
+def test_never_oom_vae_always_tiled():
+    """NeverOOM equivalent (reference sd_forge_neveroom): the option forces
+    tiled VAE in the generation plan regardless of the memory estimate."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from fixtures import make_tiny_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+    from forge_tpu.runtime.options import opts
+
+    eng = make_tiny_engine()
+    p = Processing(prompt="cat", seed=1, steps=2, width=32, height=32)
+    process_images(eng, p)
+    assert not p._plan.tiled_vae  # tiny shapes never need tiling on merit
+    opts.set("vae_always_tiled", True, run_onchange=False)
+    try:
+        p2 = Processing(prompt="cat", seed=1, steps=2, width=32, height=32)
+        process_images(eng, p2)
+        assert p2._plan.tiled_vae
+    finally:
+        opts.set("vae_always_tiled", False, run_onchange=False)
