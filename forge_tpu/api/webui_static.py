@@ -576,11 +576,15 @@ function wireMask(c,img){
   const ctx=c.getContext("2d");
   const pos=e=>{const r=c.getBoundingClientRect();
     return [(e.clientX-r.left)*c.width/r.width,(e.clientY-r.top)*c.height/r.height];};
-  c.onmousedown=e=>{if(!maskOn)return;drawing=true;paint(e);};
-  c.onmousemove=e=>{if(drawing)paint(e);};
-  window.addEventListener("mouseup",()=>drawing=false);
+  /* pointer events: stylus/touch with pressure-scaled radius (the
+     reference ForgeCanvas's pressure feature, forge_canvas/canvas.py) */
+  c.style.touchAction="none";
+  c.onpointerdown=e=>{if(!maskOn)return;drawing=true;c.setPointerCapture(e.pointerId);paint(e);};
+  c.onpointermove=e=>{if(drawing)paint(e);};
+  window.addEventListener("pointerup",()=>drawing=false);
   function paint(e){const [x,y]=pos(e);ctx.fillStyle="rgba(232,131,58,.9)";
-    ctx.beginPath();ctx.arc(x,y,+$("#img2img-brush").value,0,7);ctx.fill();}
+    const pr=(e.pointerType!=="mouse"&&e.pressure)?Math.max(e.pressure,0.15):1;
+    ctx.beginPath();ctx.arc(x,y,pr*+$("#img2img-brush").value,0,7);ctx.fill();}
 }
 $("#img2img-mask-toggle").onclick=e=>{maskOn=!maskOn;
   e.target.textContent=maskOn?"Disable mask brush":"Enable mask brush";};
