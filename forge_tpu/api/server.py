@@ -222,6 +222,7 @@ class Api:
             ("POST", "/sdapi/v1/extra-batch-images"): self.extra_batch,
             ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [
                 {"name": n} for n in LATENT_UPSCALE_MODES],
+            ("GET", "/sdapi/v1/localization"): self.get_localization,
             ("GET", "/sdapi/v1/prompt-styles"): self.get_prompt_styles,
             ("POST", "/sdapi/v1/prompt-styles"): self.save_prompt_style,
             ("POST", "/sdapi/v1/refresh-prompt-styles"): self.refresh_prompt_styles,
@@ -396,6 +397,25 @@ class Api:
         return [{"name": s.name, "prompt": s.prompt,
                  "negative_prompt": s.negative_prompt}
                 for s in prompt_styles.styles.values()]
+
+
+    def get_localization(self, query, body):
+        """Selected UI localization dict (reference modules/localization.py
+        localization_js; served as JSON, applied by the SPA on load)."""
+        from ..runtime.localization import list_localizations, load_localization
+        from ..runtime.options import opts
+
+        name = (query.get("name") or [None])[0] if isinstance(
+            query.get("name"), list) else query.get("name")
+        if not name:
+            try:
+                name = opts.get("localization")
+            except KeyError:
+                name = "None"
+        return {"name": name or "None",
+                "available": sorted(list_localizations()),
+                "data": {} if name in (None, "", "None")
+                else load_localization(name)}
 
     def save_prompt_style(self, query, body):
         """Create/update (or with delete=true remove) a style and persist to

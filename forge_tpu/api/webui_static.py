@@ -446,6 +446,19 @@ async function loadStyles(){
     }
   }catch(e){}
 }
+/* localization: swap visible strings per the selected dictionary
+   (reference javascript/localization.js, applied once after first render) */
+(async()=>{try{
+  const loc=await api("/sdapi/v1/localization");
+  const dict=loc.data||{};if(!Object.keys(dict).length)return;
+  const walk=n=>{for(const c of n.childNodes){
+    if(c.nodeType===3&&dict[c.nodeValue.trim()])
+      c.nodeValue=c.nodeValue.replace(c.nodeValue.trim(),dict[c.nodeValue.trim()]);
+    else if(c.nodeType===1)walk(c);}};
+  walk(document.body);
+  $$("[placeholder]").forEach(el=>{if(dict[el.placeholder])el.placeholder=dict[el.placeholder];});
+  $$("[title]").forEach(el=>{if(dict[el.title])el.title=dict[el.title];});
+}catch(e){}})();
 loadLists();
 $("#refresh-models").onclick=async()=>{await api("/sdapi/v1/refresh-checkpoints",{});loadLists();};
 

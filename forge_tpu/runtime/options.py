@@ -257,6 +257,8 @@ _DEFAULTS = {
                                 "(comma-separated names)", "ui"),
     "extra_options_img2img": _O("", "Options shown in the img2img tab "
                                 "(comma-separated names)", "ui"),
+    "localization": _O("None", "Localization (localizations/<name>.json "
+                       "string-replacement dict applied to the UI)", "ui"),
     "pad_cond_uncond": _O(False, "Pad cond/uncond to same length", "perf"),
     "persistent_cond_cache": _O(True, "Keep cond cache across generations", "perf"),
     "batch_cond_uncond": _O(True, "Batch cond+uncond in one call", "perf"),

@@ -230,3 +230,30 @@ def test_network_metadata_roundtrip(server, tmp_path, monkeypatch):
     md2 = _get("/sdapi/v1/extra-networks/metadata?name=metalora")
     assert md2["activation text"] == "trigger word"
     assert os.path.exists("models/Lora/metalora.json")
+
+
+def test_localization_route(tmp_path, monkeypatch):
+    """Localization dict round-trip (reference modules/localization.py):
+    localizations/<name>.json served via /sdapi/v1/localization."""
+    import json as _json
+    import os as _os
+
+    from forge_tpu.runtime.options import opts
+
+    loc_dir = tmp_path / "localizations"
+    loc_dir.mkdir()
+    (loc_dir / "test_lang.json").write_text(
+        _json.dumps({"Generate": "Generieren"}), encoding="utf8")
+    cwd = _os.getcwd()
+    monkeypatch.chdir(tmp_path)
+    try:
+        r = _get("/sdapi/v1/localization?name=test_lang")
+    finally:
+        monkeypatch.chdir(cwd)
+    assert r["name"] == "test_lang"
+    assert "test_lang" in r["available"]
+    assert r["data"]["Generate"] == "Generieren"
+    # default: option 'localization' (None → empty dict)
+    assert opts.get("localization") == "None"
+    r2 = _get("/sdapi/v1/localization")
+    assert r2["data"] == {}
