@@ -246,3 +246,27 @@ def test_illusion_space_pipeline():
     weak = pipe.run(pattern, "cat", seed=5, base_size=32, steps=2,
                     upscaler_strength=0.6, strength=0.0)
     assert not np.array_equal(out, weak), "illusion strength had no effect"
+
+
+def test_animagine_space_pipeline():
+    """Bundled animagine Space: tag presets compose into the prompt and the
+    aspect preset sets the resolution; optional upscale = hires pass."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "extensions-builtin/forge_space_animagine_xl_31")
+    _sys.path.insert(0, "tests")
+    app = importlib.import_module("forge_app")
+
+    pos, neg = app.apply_preset(app.QUALITY_TAGS, "Standard v3.1", "1girl", "bad")
+    assert pos.startswith("1girl, masterpiece") and "lowres" in neg and neg.endswith("bad")
+    assert app.pick_size("896 x 1152", 0, 0) == (896, 1152)
+    assert app.pick_size("Custom", 513, 511) == (512, 504)
+
+    from test_sdxl import _tiny_sdxl_checkpoint
+    from forge_tpu.pipeline.engine import load_engine
+
+    pipe = app.AnimaginePipeline(load_engine(_tiny_sdxl_checkpoint()))
+    out = pipe.run("1girl", seed=7, steps=2, aspect="Custom",
+                   custom_width=64, custom_height=32)
+    assert out.shape == (32, 64, 3)
