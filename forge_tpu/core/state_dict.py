@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import pickle
+import re
 import struct
 import zipfile
 from typing import Any, Callable, Dict, Mapping, Optional
@@ -322,4 +323,86 @@ def transform_for_jax(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if v.ndim == 4:
             v = np.transpose(v, (2, 3, 1, 0))
         out[k] = v
+    return out
+
+
+def diffusers_unet_to_ldm(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """diffusers UNet2DConditionModel key space → ldm (input_blocks/...).
+
+    The standard published mapping (diffusers' own convert scripts; the
+    reference gets it via huggingface_guess diffusers_convert). Geometry is
+    sniffed from the keys (layers-per-block, presence of attentions per
+    down/up block), so it covers SD1.5/SD2/SDXL-shaped UNets. Values pass
+    through untouched (still torch OIHW — run transform_for_jax after)."""
+    res_map = {"norm1": "in_layers.0", "conv1": "in_layers.2",
+               "time_emb_proj": "emb_layers.1", "norm2": "out_layers.0",
+               "conv2": "out_layers.3", "conv_shortcut": "skip_connection"}
+
+    def n_of(prefix: str, part: str) -> int:
+        seen = set()
+        pat = re.compile(re.escape(prefix) + r"\.(\d+)\." + part + r"\.(\d+)\.")
+        for k in sd:
+            m = pat.match(k)
+            if m:
+                seen.add((int(m.group(1)), int(m.group(2))))
+        return max((j for _, j in seen), default=-1) + 1
+
+    n_down = max((int(k.split(".")[1]) for k in sd
+                  if k.startswith("down_blocks.")), default=-1) + 1
+    lpb = n_of("down_blocks", "resnets")
+    out: Dict[str, np.ndarray] = {}
+
+    def put(dst: str, src: str):
+        for k, v in sd.items():
+            if k.startswith(src + "."):
+                tail = k[len(src) + 1:]
+                head, _, rest = tail.partition(".")
+                tail = res_map.get(head, head) + ("." + rest if rest else "")
+                out[dst + "." + tail] = v
+
+    put("input_blocks.0.0", "conv_in")
+    out.update({f"time_embed.0.{t}": sd[f"time_embedding.linear_1.{t}"]
+                for t in ("weight", "bias") if f"time_embedding.linear_1.{t}" in sd})
+    out.update({f"time_embed.2.{t}": sd[f"time_embedding.linear_2.{t}"]
+                for t in ("weight", "bias") if f"time_embedding.linear_2.{t}" in sd})
+    for t in ("weight", "bias"):
+        for src, dst in (("add_embedding.linear_1", "label_emb.0.0"),
+                         ("add_embedding.linear_2", "label_emb.0.2")):
+            if f"{src}.{t}" in sd:
+                out[f"{dst}.{t}"] = sd[f"{src}.{t}"]
+
+    idx = 1
+    for i in range(n_down):
+        for j in range(lpb):
+            put(f"input_blocks.{idx}.0", f"down_blocks.{i}.resnets.{j}")
+            if any(k.startswith(f"down_blocks.{i}.attentions.{j}.") for k in sd):
+                put(f"input_blocks.{idx}.1", f"down_blocks.{i}.attentions.{j}")
+            idx += 1
+        if any(k.startswith(f"down_blocks.{i}.downsamplers.") for k in sd):
+            put(f"input_blocks.{idx}.0.op", f"down_blocks.{i}.downsamplers.0.conv")
+            idx += 1
+
+    put("middle_block.0", "mid_block.resnets.0")
+    put("middle_block.1", "mid_block.attentions.0")
+    put("middle_block.2", "mid_block.resnets.1")
+
+    n_up = max((int(k.split(".")[1]) for k in sd
+                if k.startswith("up_blocks.")), default=-1) + 1
+    idx = 0
+    for i in range(n_up):
+        n_res = len({k.split(".")[3] for k in sd
+                     if k.startswith(f"up_blocks.{i}.resnets.")})
+        for j in range(n_res):
+            put(f"output_blocks.{idx}.0", f"up_blocks.{i}.resnets.{j}")
+            has_attn = any(k.startswith(f"up_blocks.{i}.attentions.{j}.") for k in sd)
+            if has_attn:
+                put(f"output_blocks.{idx}.1", f"up_blocks.{i}.attentions.{j}")
+            if j == n_res - 1 and any(
+                    k.startswith(f"up_blocks.{i}.upsamplers.") for k in sd):
+                put(f"output_blocks.{idx}.{2 if has_attn else 1}.conv",
+                    f"up_blocks.{i}.upsamplers.0.conv")
+            idx += 1
+
+    put("out.0", "conv_norm_out")
+    put("out.2", "conv_out")
     return out

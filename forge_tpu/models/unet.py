@@ -196,6 +196,11 @@ def unet_apply(
     y [B, adm_in_channels] (SDXL class/size conditioning) → eps/v prediction.
     """
     hooks = hooks or {}
+    # channel-concat conditioning (IC-Light's hooked_unet_forward,
+    # forge_space_iclight/forge_app.py:44-50; also the shape inpaint models
+    # use): extra latent channels appended to x before the stem conv
+    for fn in hooks.get("x_concat", ()):
+        x = fn(x)
     model_channels = params["time_embed"]["0"]["weight"].shape[1]
     t_emb = nn.timestep_embedding(timesteps, model_channels, dtype=x.dtype)
     emb = nn.linear(t_emb, params["time_embed"]["0"])

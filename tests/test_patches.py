@@ -162,3 +162,57 @@ def test_online_lora_quantized_e2e_no_skip(capsys):
     base = np.asarray(linear_quantized(x, q))
     patched = np.asarray(linear_quantized(x, get_path(out, "blk.ff.net.0.proj.weight")))
     assert np.abs(base - patched).max() > 1e-3
+
+
+def test_diffusers_unet_to_ldm_bijection():
+    """diffusers UNet2DConditionModel keys → ldm keys on the tiny fixture
+    geometry: every fixture key is produced, with the same value objects
+    (the mapping IC-Light offsets and diffusers-format checkpoints need)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from fixtures import make_unet_sd
+    from forge_tpu.core.state_dict import diffusers_unet_to_ldm
+
+    ldm = make_unet_sd(prefix="")
+    res_inv = {"in_layers.0": "norm1", "in_layers.2": "conv1",
+               "emb_layers.1": "time_emb_proj", "out_layers.0": "norm2",
+               "out_layers.3": "conv2", "skip_connection": "conv_shortcut"}
+    block_inv = {
+        "input_blocks.0.0": "conv_in",
+        "time_embed.0": "time_embedding.linear_1",
+        "time_embed.2": "time_embedding.linear_2",
+        "input_blocks.1.0": "down_blocks.0.resnets.0",
+        "input_blocks.1.1": "down_blocks.0.attentions.0",
+        "input_blocks.2.0.op": "down_blocks.0.downsamplers.0.conv",
+        "input_blocks.3.0": "down_blocks.1.resnets.0",
+        "middle_block.0": "mid_block.resnets.0",
+        "middle_block.1": "mid_block.attentions.0",
+        "middle_block.2": "mid_block.resnets.1",
+        "output_blocks.0.0": "up_blocks.0.resnets.0",
+        "output_blocks.1.0": "up_blocks.0.resnets.1",
+        "output_blocks.1.1.conv": "up_blocks.0.upsamplers.0.conv",
+        "output_blocks.2.0": "up_blocks.1.resnets.0",
+        "output_blocks.2.1": "up_blocks.1.attentions.0",
+        "output_blocks.3.0": "up_blocks.1.resnets.1",
+        "output_blocks.3.1": "up_blocks.1.attentions.1",
+        "out.0": "conv_norm_out",
+        "out.2": "conv_out",
+    }
+
+    def to_diffusers_key(k):
+        for pre, sub in sorted(block_inv.items(), key=lambda x: -len(x[0])):
+            if k.startswith(pre + "."):
+                tail = k[len(pre) + 1:]
+                for lpre, lsub in res_inv.items():
+                    if tail.startswith(lpre):
+                        tail = lsub + tail[len(lpre):]
+                        break
+                return sub + "." + tail
+        raise AssertionError(f"unmapped fixture key {k}")
+
+    dsd = {to_diffusers_key(k): v for k, v in ldm.items()}
+    back = diffusers_unet_to_ldm(dsd)
+    assert set(back) == set(ldm)
+    for k in ldm:
+        assert back[k] is ldm[k], k

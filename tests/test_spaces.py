@@ -270,3 +270,38 @@ def test_animagine_space_pipeline():
     out = pipe.run("1girl", seed=7, steps=2, aspect="Custom",
                    custom_width=64, custom_height=32)
     assert out.shape == (32, 64, 3)
+
+
+def test_iclight_space_pipeline():
+    """Bundled IC-Light Space: stem conv widens 4->8 input channels, the
+    foreground latent rides x_concat through both passes, and the lighting
+    gradient changes the output."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "extensions-builtin/forge_space_iclight")
+    _sys.path.insert(0, "tests")
+    app = importlib.import_module("forge_app")
+    from fixtures import make_tiny_engine, make_unet_sd
+
+    eng = make_tiny_engine()
+    # synthetic offset in ldm key space: zeros except a widened stem conv
+    r = np.random.default_rng(0)
+    off = {k: np.zeros_like(v) for k, v in make_unet_sd(prefix="").items()}
+    w = off["input_blocks.0.0.weight"]  # OIHW [C,4,3,3]
+    off["input_blocks.0.0.weight"] = (
+        r.standard_normal((w.shape[0], 8, 3, 3)) * 0.01).astype(np.float32)
+    eng.loaded.unet = app.merge_iclight_unet(eng.loaded.unet, off)
+    stem = eng.loaded.unet["input_blocks"]["0"]["0"]["weight"]
+    assert stem.shape[2] == 8  # HWIO input width
+
+    pipe = app.ICLightPipeline(eng)
+    fg = np.zeros((48, 40, 3), np.uint8)
+    fg[12:36, 10:30] = 220
+    out = pipe.run(fg, "cat", width=32, height=32, seed=3, steps=2,
+                   highres_scale=2.0, highres_denoise=0.5)
+    assert out.shape == (64, 64, 3)
+    lit = pipe.run(fg, "cat", width=32, height=32, seed=3, steps=2,
+                   bg_source="Left Light", highres_scale=2.0,
+                   highres_denoise=0.5)
+    assert not np.array_equal(out, lit)
