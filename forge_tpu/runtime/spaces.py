@@ -54,7 +54,8 @@ class ForgeSpace:
     def running(self) -> bool:
         return self.proc is not None and self.proc.poll() is None
 
-    def launch(self, host: str = "127.0.0.1", timeout: float = 60.0) -> str:
+    def launch(self, host: str = "127.0.0.1", timeout: float = 60.0,
+               env: Optional[Dict[str, str]] = None) -> str:
         if self.running:
             return self.url
         if not self.installed:
@@ -66,6 +67,9 @@ class ForgeSpace:
         self.proc = subprocess.Popen(
             [sys.executable, app, "--host", host, "--port", str(port)],
             cwd=self.root_path,
+            env=env,  # None = inherit; tests pass a scrubbed env so the
+            # child cannot hang on an accelerator plugin whose transport
+            # is down (the CPU suite must never depend on the TPU tunnel)
         )
         self.url = f"http://{host}:{port}"
         # wait for the app to accept connections (or die early)
@@ -124,8 +128,9 @@ class SpaceManager:
     def list(self) -> List[Dict]:
         return [s.info() for s in self.spaces.values()]
 
-    def launch(self, name: str, host: str = "127.0.0.1", timeout: float = 60.0) -> str:
-        return self.spaces[name].launch(host, timeout=timeout)
+    def launch(self, name: str, host: str = "127.0.0.1", timeout: float = 60.0,
+               env: Optional[Dict[str, str]] = None) -> str:
+        return self.spaces[name].launch(host, timeout=timeout, env=env)
 
     def terminate(self, name: str):
         self.spaces[name].terminate()

@@ -35,6 +35,19 @@ def _make_space(root, name):
     return d
 
 
+def _hermetic_env():
+    """Subprocess env for space launches in tests: pure-CPU jax with the
+    accelerator PJRT plugin UNREGISTERED. The axon plugin registers from a
+    sitecustomize on PYTHONPATH and its first backend access blocks when
+    the TPU tunnel is down — CPU tests must not depend on that transport."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
+    return env
+
+
 def test_discovery_and_lifecycle(tmp_path):
     _make_space(tmp_path, "forge_space_tiny")
     (tmp_path / "not_a_space").mkdir()
@@ -168,7 +181,7 @@ def test_birefnet_space_end_to_end(tmp_path):
     try:
         mgr = SpaceManager(["extensions-builtin"])
         assert "forge_space_birefnet" in mgr.spaces
-        url = mgr.launch("forge_space_birefnet", timeout=180)
+        url = mgr.launch("forge_space_birefnet", timeout=180, env=_hermetic_env())
         # UI page serves
         page = urllib.request.urlopen(url, timeout=10).read().decode()
         assert "Remove Background" in page
@@ -202,7 +215,7 @@ def test_caption_space_lifecycle(tmp_path):
     try:
         mgr = SpaceManager(["extensions-builtin"])
         assert "forge_space_florence_2" in mgr.spaces
-        url = mgr.launch("forge_space_florence_2", timeout=180)
+        url = mgr.launch("forge_space_florence_2", timeout=180, env=_hermetic_env())
         page = urllib.request.urlopen(url, timeout=10).read().decode()
         assert "Image Caption" in page
         img = Image.fromarray(np.zeros((16, 16, 3), np.uint8))
@@ -218,6 +231,22 @@ def test_caption_space_lifecycle(tmp_path):
         os.environ.pop("CAPTION_MODEL_ROOT", None)
 
 
+def _load_space_app(space_dir: str, name: str):
+    """Import a bundled space's forge_app.py under a UNIQUE module name —
+    every space uses the filename forge_app.py, so import_module("forge_app")
+    returns whichever space was imported first in the process."""
+    import importlib.util
+    import os as _os
+    import sys
+
+    path = _os.path.join("extensions-builtin", space_dir, "forge_app.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_illusion_space_pipeline():
     """Bundled illusion-diffusion Space: two-pass hires flow with a
     ControlNet riding both passes — the hint auto-resizes to the hires
@@ -226,11 +255,8 @@ def test_illusion_space_pipeline():
 
     import jax.numpy as jnp
 
-    _sys.path.insert(0, "extensions-builtin/forge_space_illusion_diffusion")
     _sys.path.insert(0, "tests")
-    import importlib
-
-    app = importlib.import_module("forge_app")
+    app = _load_space_app("forge_space_illusion_diffusion", "illusion_app")
     from fixtures import make_tiny_engine
     from test_controlnet import CN_CFG, make_cldm_sd
     from forge_tpu.core.state_dict import transform_for_jax
@@ -251,12 +277,10 @@ def test_illusion_space_pipeline():
 def test_animagine_space_pipeline():
     """Bundled animagine Space: tag presets compose into the prompt and the
     aspect preset sets the resolution; optional upscale = hires pass."""
-    import importlib
     import sys as _sys
 
-    _sys.path.insert(0, "extensions-builtin/forge_space_animagine_xl_31")
     _sys.path.insert(0, "tests")
-    app = importlib.import_module("forge_app")
+    app = _load_space_app("forge_space_animagine_xl_31", "animagine_app")
 
     pos, neg = app.apply_preset(app.QUALITY_TAGS, "Standard v3.1", "1girl", "bad")
     assert pos.startswith("1girl, masterpiece") and "lowres" in neg and neg.endswith("bad")
@@ -276,12 +300,10 @@ def test_iclight_space_pipeline():
     """Bundled IC-Light Space: stem conv widens 4->8 input channels, the
     foreground latent rides x_concat through both passes, and the lighting
     gradient changes the output."""
-    import importlib
     import sys as _sys
 
-    _sys.path.insert(0, "extensions-builtin/forge_space_iclight")
     _sys.path.insert(0, "tests")
-    app = importlib.import_module("forge_app")
+    app = _load_space_app("forge_space_iclight", "iclight_app")
     from fixtures import make_tiny_engine, make_unet_sd
 
     eng = make_tiny_engine()
