@@ -33,6 +33,14 @@ def test_feature_surface():
     # hires/refiner/controlnet sections (template-literal ids)
     for el in ("${m}-hr-enable", "${m}-refiner", "${m}-cn-enable"):
         assert f'id="{el}"' in INDEX_HTML, el
+    # extra-options quick controls (reference extra-options-section)
+    assert 'id="${m}-extraopts"' in INDEX_HTML
+    assert "override_settings" in _script()
+    # localization applied on load (reference javascript/localization.js)
+    assert "/sdapi/v1/localization" in _script()
+    # pressure-aware pointer brush (ForgeCanvas parity) + mobile layout
+    assert "onpointerdown" in _script() and "e.pressure" in _script()
+    assert "@media (max-width:700px)" in INDEX_HTML
 
 
 def test_script_delimiters_balanced():
