@@ -70,6 +70,9 @@ def parse_args(argv=None):
                     help="run the diffusion model in float32 (same as --unet-dtype float32)")
     ap.add_argument("--no-half-vae", action="store_true",
                     help="run the VAE in float32")
+    ap.add_argument("--vae-dtype", choices=["auto", "bfloat16", "float32"],
+                    default="auto", help="VAE compute dtype (reference "
+                    "--vae-in-bf16/fp16/fp32)")
     ap.add_argument("--disable-nan-check", action="store_true",
                     help="skip NaN checks on latents/images")
     ap.add_argument("--unet-offload", action="store_true",
@@ -86,6 +89,8 @@ def parse_args(argv=None):
                     help="comma-separated option names to make read-only")
     ap.add_argument("--styles-file", default="styles.csv",
                     help="prompt styles csv")
+    ap.add_argument("--localizations-dir", default="localizations",
+                    help="directory of <name>.json UI localization dicts")
     ap.add_argument("--disable-all-extensions", action="store_true",
                     help="do not load any extension scripts")
     ap.add_argument("--disable-extra-extensions", action="store_true",
@@ -127,6 +132,17 @@ def main(argv=None):
         opts.set("compute_dtype", unet_dtype, run_onchange=False)
     if args.no_half_vae:
         opts.set("vae_dtype", "float32", run_onchange=False)
+    elif args.vae_dtype != "auto":
+        opts.set("vae_dtype", args.vae_dtype, run_onchange=False)
+    if args.localizations_dir != "localizations":
+        from forge_tpu.runtime import localization as loc_mod
+
+        default_list = loc_mod.list_localizations
+
+        def list_with_dir(dirs=None):
+            return default_list(dirs or [args.localizations_dir])
+
+        loc_mod.list_localizations = list_with_dir
     if args.disable_nan_check:
         opts.set("disable_nan_check", True, run_onchange=False)
     if args.no_hashing:
