@@ -308,19 +308,34 @@ class Api:
 
         return {"module_list": preprocessor_names()}
 
-    def txt2img(self, query, body):
-        p = _processing_from_payload(body)
+    def _generate(self, kind: str, p, body):
+        """process_images, or a selectable script when the payload carries
+        script_name (reference api.py init_script_args → Script.run)."""
+        script_name = body.get("script_name")
+        script_args = body.get("script_args") or []
         overrides = body.get("override_settings") or {}
 
         def run():
             with opts.override(overrides):
-                state.begin("txt2img", job_count=p.n_iter, steps=p.steps)
+                state.begin(kind, job_count=p.n_iter, steps=p.steps)
                 try:
+                    if script_name:
+                        from ..pipeline.selectable_scripts import get_script
+
+                        try:
+                            script = get_script(script_name)
+                        except KeyError as e:
+                            raise ApiError(422, str(e)) from e
+                        return script.run(self._engine(), p, *script_args)
                     return process_images(self._engine(), p)
                 finally:
                     state.end()
 
-        result = work_queue.run_and_wait(run)
+        return work_queue.run_and_wait(run)
+
+    def txt2img(self, query, body):
+        p = _processing_from_payload(body)
+        result = self._generate("txt2img", p, body)
         infos = result.infotexts
         return {
             "images": [
@@ -349,17 +364,7 @@ class Api:
         if mask:
             m = _b64_to_image(mask)
             p.inpaint_mask = m.mean(axis=-1)
-        overrides = body.get("override_settings") or {}
-
-        def run():
-            with opts.override(overrides):
-                state.begin("img2img", job_count=p.n_iter, steps=p.steps)
-                try:
-                    return process_images(self._engine(), p)
-                finally:
-                    state.end()
-
-        result = work_queue.run_and_wait(run)
+        result = self._generate("img2img", p, body)
         return {
             "images": [_image_to_b64(img, result.infotexts[i] if i < len(result.infotexts) else None)
                        for i, img in enumerate(result.images)],
@@ -653,17 +658,31 @@ class Api:
     def list_scripts(self, query, body):
         from ..runtime.scripts import scripts_img2img, scripts_txt2img
 
+        from ..pipeline.selectable_scripts import SELECTABLE
+
         names = list(self.ALWAYSON)
-        t2i = names + [s.name for s in scripts_txt2img.scripts]
-        i2i = names + [s.name for s in scripts_img2img.scripts]
+        sel = {s.name for s in SELECTABLE.values()}
+        sel_t2i = sorted(s.name for s in SELECTABLE.values() if not s.is_img2img)
+        sel_i2i = sorted(sel)
+        t2i = names + sel_t2i + [s.name for s in scripts_txt2img.scripts]
+        i2i = names + sel_i2i + [s.name for s in scripts_img2img.scripts]
         return {"txt2img": t2i, "img2img": i2i}
 
     def script_info(self, query, body):
+        from ..pipeline.selectable_scripts import SELECTABLE
+
         out = []
         for name in self.ALWAYSON:
             for is_img2img in (False, True):
                 out.append({"name": name, "is_alwayson": True,
                             "is_img2img": is_img2img, "args": []})
+        seen = set()
+        for s in SELECTABLE.values():
+            if s.name in seen:
+                continue
+            seen.add(s.name)
+            out.append({"name": s.name, "is_alwayson": False,
+                        "is_img2img": s.is_img2img, "args": s.ui_spec})
         return out
 
     def list_extensions_api(self, query, body):

@@ -343,6 +343,9 @@ function genPanel(mode){
       ${sliderRow(m+"-substrength","Strength",0,1,0.01,0)}</div>
     </details>
     <details id="${m}-extraopts" class="row small" style="display:none"></details>
+    <div class="row"><label>Script</label>
+      <select id="${m}-script"><option value="">None</option></select></div>
+    <div class="row small" id="${m}-script-args" style="display:none"></div>
   </fieldset>
   ${m==="txt2img"?`
   <fieldset><legend><label><input type="checkbox" id="${m}-hr-enable"> Hires. fix</label></legend>
@@ -419,6 +422,30 @@ async function loadLists(){
       models.map(x=>`<option>${x.title}</option>`).join("");
     const o=await api("/sdapi/v1/options");
     if(o.sd_model_checkpoint)$("#sd-model").value=o.sd_model_checkpoint;
+    try{
+      const sinfo=await api("/sdapi/v1/script-info");
+      window._scriptInfo=sinfo.filter(x=>!x.is_alwayson);
+      for(const m of ["txt2img","img2img"]){
+        const sel=$(`#${m}-script`);
+        const opts=window._scriptInfo.filter(x=>m==="img2img"||!x.is_img2img);
+        const names=[...new Set(opts.map(x=>x.name))];
+        sel.innerHTML="<option value=''>None</option>"+names.map(n=>`<option>${n}</option>`).join("");
+        sel.onchange=()=>{
+          const box=$(`#${m}-script-args`);
+          const info=window._scriptInfo.find(x=>x.name===sel.value);
+          if(!info||!info.args.length){box.style.display="none";box.innerHTML="";return;}
+          box.style.display="";
+          box.innerHTML=info.args.map(a=>{
+            if(a.type==="none")return `<input type=hidden data-sarg value="">`;
+            if(a.type==="bool")return `<label>${a.name} <input type=checkbox data-sarg ${a.default?"checked":""}></label>`;
+            if(a.type==="int"||a.type==="float")return `<label>${a.name} <input type=number step=any data-sarg value="${a.default}" style="width:80px"></label>`;
+            if(a.type==="choice")return `<label>${a.name} <select data-sarg>${a.choices.map(c=>`<option${c===a.default?" selected":""}>${c}</option>`).join("")}</select></label>`;
+            if(a.type==="multi")return `<label>${a.name} <select data-sarg multiple size=2 data-multi>${a.choices.map(c=>`<option${(a.default||[]).includes(c)?" selected":""}>${c}</option>`).join("")}</select></label>`;
+            return `<label>${a.name} <textarea data-sarg rows=2 style="width:100%">${a.default||""}</textarea></label>`;
+          }).join(" ");
+        };
+      }
+    }catch(e){}
     for(const m of ["txt2img","img2img"]){
       /* extra-options-section equivalent (reference extensions-builtin/
          extra-options-section): quick option controls, sent per-request
@@ -656,6 +683,16 @@ function payloadFor(m){
     pl.inpainting_fill=v("fill");pl.mask_blur=+v("maskblur");
     pl.inpaint_full_res=$(`#${m}-fullres`).checked;
     const mk=maskB64();if(mk)pl.mask=mk.split(",")[1];
+  }
+  const sname=$(`#${m}-script`)?.value;
+  if(sname){
+    pl.script_name=sname;
+    pl.script_args=[...$$(`#${m}-script-args [data-sarg]`)].map(el=>{
+      if(el.type==="checkbox")return el.checked;
+      if(el.type==="hidden")return null;
+      if(el.type==="number")return +el.value;
+      if(el.hasAttribute("data-multi"))return [...el.selectedOptions].map(o=>o.value);
+      return el.value;});
   }
   const ov={};
   $$(`#${m}-extraopts [data-opt]`).forEach(el=>{

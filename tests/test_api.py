@@ -232,7 +232,7 @@ def test_network_metadata_roundtrip(server, tmp_path, monkeypatch):
     assert os.path.exists("models/Lora/metalora.json")
 
 
-def test_localization_route(tmp_path, monkeypatch):
+def test_localization_route(server, tmp_path, monkeypatch):
     """Localization dict round-trip (reference modules/localization.py):
     localizations/<name>.json served via /sdapi/v1/localization."""
     import json as _json
@@ -257,3 +257,31 @@ def test_localization_route(tmp_path, monkeypatch):
     assert opts.get("localization") == "None"
     r2 = _get("/sdapi/v1/localization")
     assert r2["data"] == {}
+
+
+def test_script_name_dispatch(server):
+    """Selectable-script API contract (reference api.py init_script_args):
+    script_name routes the generation through the script's run()."""
+    r = _post("/sdapi/v1/txt2img", {
+        "prompt": "a cat|hat", "steps": 2, "width": 32, "height": 32,
+        "seed": 3, "script_name": "Prompt matrix",
+        "script_args": [False, False, "positive", "comma", 0]})
+    assert len(r["images"]) == 3  # grid + 2 combos
+    import urllib.error
+
+    import pytest as _pytest
+
+    with _pytest.raises(urllib.error.HTTPError) as ei:
+        _post("/sdapi/v1/txt2img", {"prompt": "x", "steps": 1, "width": 32,
+                                    "height": 32, "script_name": "nope"})
+    assert ei.value.code == 422
+
+
+def test_scripts_listing_includes_selectable(server):
+    r = _get("/sdapi/v1/scripts")
+    assert "SD upscale" in r["img2img"]
+    assert "Prompt matrix" in r["txt2img"]
+    assert "SD upscale" not in r["txt2img"]  # img2img-only
+    info = _get("/sdapi/v1/script-info")
+    pm = next(x for x in info if x["name"] == "Prompt matrix")
+    assert pm["args"][0]["name"] == "put_at_start"

@@ -95,6 +95,9 @@ def parse_args(argv=None):
                     help="do not load any extension scripts")
     ap.add_argument("--disable-extra-extensions", action="store_true",
                     help="load only builtin extension scripts")
+    ap.add_argument("--allow-code", action="store_true",
+                    help="enable the 'Custom code' script (executes "
+                         "request-supplied python — reference --allow-code)")
     ap.add_argument("--enable-insecure-extension-access", action="store_true",
                     help="allow extension install/update via the API "
                          "(executes fetched code — off by default)")
