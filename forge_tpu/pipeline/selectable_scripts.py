@@ -465,3 +465,107 @@ register(SelectableScript(
     "Custom code", _run_custom_code, ui_spec=[
         {"name": "code", "type": "text", "default": ""},
         {"name": "indent_level", "type": "int", "default": 0}]))
+
+
+# ---------------------------------------------------------------------------
+# img2img alternative test (reference scripts/img2imgalt.py): reconstruct the
+# noise that would produce the init image under the ORIGINAL prompt by
+# running Euler in reverse (ascending sigma), then re-sample toward the new
+# prompt from that noise — deterministic "CLIP-guided editing".
+
+
+def _cfg_apply(engine, cond, uncond, cfg_scale):
+    import jax
+
+    from ..sampling import cfg as cfg_mod
+
+    apply = cfg_mod.make_apply_model(
+        jax.jit(engine.unet_apply_fn()), engine.loaded.unet,
+        engine.predictor, engine.compute_dtype)
+
+    def denoise(x, sigma):
+        dc = apply(x, sigma, cond)
+        du = apply(x, sigma, uncond)
+        return du + (dc - du) * cfg_scale
+
+    return denoise
+
+
+def find_noise_for_image(engine, latent, cond, uncond, cfg_scale: float,
+                         steps: int) -> "np.ndarray":
+    """Reverse Euler (reference img2imgalt.py find_noise_for_image:28-59):
+    ascending σ walk of d=(x−D(x,σ))/σ; returns x normalized to unit std
+    (noise units)."""
+    from ..sampling.schedules import get_sigmas
+
+    sigmas = np.asarray(get_sigmas("normal", steps, engine.predictor),
+                        np.float32)[::-1]  # ascending, starts at 0
+    denoise = _cfg_apply(engine, cond, uncond, cfg_scale)
+    x = latent
+    for i in range(1, len(sigmas)):
+        sig = float(sigmas[i])
+        d = (x - denoise(x, sig)) / sig
+        x = x + d * float(sigmas[i] - sigmas[i - 1])
+    x = np.asarray(x, np.float32)
+    return x / max(float(x.std()), 1e-6)
+
+
+def _run_img2img_alt(engine, p: Processing, _info: Any = None,
+                     override_prompt: bool = True, original_prompt: str = "",
+                     original_negative_prompt: str = "",
+                     override_steps: bool = True, st: int = 25,
+                     randomness: float = 0.0, sigma_adjustment: bool = True
+                     ) -> Processed:
+    import jax.numpy as jnp
+
+    from ..sampling.schedules import get_sigmas
+
+    if p.init_images is None:
+        raise ValueError("img2img alternative needs an init image")
+    _fix_seed(p)
+    decode_steps = st if override_steps else p.steps
+    img = np.asarray(p.init_images[0])
+    x01 = jnp.asarray(img[None].astype(np.float32) / 127.5 - 1.0)
+    latent = np.asarray(engine.encode_first_stage(x01), np.float32)
+
+    def conds(prompt, negative):
+        c = engine.get_learned_conditioning([prompt], p.width, p.height)
+        u = engine.get_learned_conditioning([negative], p.width, p.height,
+                                            is_negative=True)
+        return c, u
+
+    oc, ou = conds(original_prompt, original_negative_prompt)
+    rec = find_noise_for_image(engine, latent, oc, ou, 1.0, decode_steps)
+
+    rand = np.random.default_rng(p.seed & 0xFFFFFFFF).standard_normal(
+        rec.shape).astype(np.float32)
+    r = float(randomness)
+    noise = ((1 - r) * rec + r * rand) / math.sqrt(r * r + (1 - r) * (1 - r))
+
+    tc, tu = conds(p.prompt, p.negative_prompt)
+    denoise = _cfg_apply(engine, tc, tu, p.cfg_scale)
+    sigmas = np.asarray(get_sigmas("normal", decode_steps, engine.predictor),
+                        np.float32)
+    x = latent + noise * float(sigmas[0])
+    for i in range(len(sigmas) - 1):
+        sig = float(sigmas[i])
+        d = (x - np.asarray(denoise(x, sig), np.float32)) / sig
+        x = x + d * float(sigmas[i + 1] - sigmas[i])
+
+    out = np.asarray(engine.decode_to_uint8(jnp.asarray(x)))
+    return Processed(images=[out[0]], seeds=[p.seed], subseeds=[p.subseed],
+                     infotexts=[f"{p.prompt}\nimg2img alternative, "
+                                f"decode steps {decode_steps}"],
+                     params={}, timings={})
+
+
+register(SelectableScript(
+    "img2img alternative test", _run_img2img_alt, is_img2img=True, ui_spec=[
+        {"name": "info", "type": "none", "default": None},
+        {"name": "override_prompt", "type": "bool", "default": True},
+        {"name": "original_prompt", "type": "text", "default": ""},
+        {"name": "original_negative_prompt", "type": "text", "default": ""},
+        {"name": "override_steps", "type": "bool", "default": True},
+        {"name": "st", "type": "int", "default": 25},
+        {"name": "randomness", "type": "float", "default": 0.0},
+        {"name": "sigma_adjustment", "type": "bool", "default": True}]))
