@@ -547,9 +547,21 @@ class Api:
 
             pim = Image.fromarray(img)
             if body.get("upscaling_crop", True) and (pim.width != tw or pim.height != th):
-                left = max(0, (pim.width - tw) // 2)
-                top = max(0, (pim.height - th) // 2)
-                pim = pim.crop((left, top, left + tw, top + th))
+                if body.get("focal_crop_enabled"):
+                    # auto focal-point crop (reference
+                    # postprocessing_focal_crop.py; weights as its sliders)
+                    from ..postprocessing.focal_crop import focal_crop
+
+                    img = focal_crop(
+                        np.asarray(pim), tw, th,
+                        face_weight=float(body.get("focal_crop_face_weight", 0.9)),
+                        entropy_weight=float(body.get("focal_crop_entropy_weight", 0.15)),
+                        edges_weight=float(body.get("focal_crop_edges_weight", 0.5)))
+                    pim = Image.fromarray(img)
+                else:
+                    left = max(0, (pim.width - tw) // 2)
+                    top = max(0, (pim.height - th) // 2)
+                    pim = pim.crop((left, top, left + tw, top + th))
             if (pim.width, pim.height) != (tw, th):
                 pim = pim.resize((tw, th), Image.LANCZOS)
             img = np.asarray(pim)

@@ -285,3 +285,27 @@ def test_scripts_listing_includes_selectable(server):
     info = _get("/sdapi/v1/script-info")
     pm = next(x for x in info if x["name"] == "Prompt matrix")
     assert pm["args"][0]["name"] == "put_at_start"
+
+
+def test_extras_focal_crop(server):
+    """Auto focal-point crop (reference postprocessing_focal_crop.py): the
+    crop window follows the high-detail region instead of the center."""
+    import base64 as _b64
+    import io as _io
+
+    from PIL import Image as _Image
+
+    img = np.zeros((64, 128, 3), np.uint8)
+    rng = np.random.default_rng(0)
+    img[8:56, 96:124] = rng.integers(0, 255, (48, 28, 3))  # busy right side
+    buf = _io.BytesIO()
+    _Image.fromarray(img).save(buf, format="PNG")
+    b64 = _b64.b64encode(buf.getvalue()).decode()
+    r = _post("/sdapi/v1/extra-single-image", {
+        "image": b64, "resize_mode": 1, "upscaling_resize_w": 64,
+        "upscaling_resize_h": 64, "upscaler_1": "None",
+        "focal_crop_enabled": True})
+    out = np.asarray(_Image.open(_io.BytesIO(_b64.b64decode(r["image"]))))
+    assert out.shape == (64, 64, 3)
+    # the busy region (right) must dominate the crop: its mean is high
+    assert out.mean() > img[:, 32:96].mean() + 10
