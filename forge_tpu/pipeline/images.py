@@ -220,16 +220,22 @@ def apply_color_correction(correction: np.ndarray, image: np.ndarray) -> np.ndar
     return cv2.cvtColor(matched, cv2.COLOR_LAB2RGB)
 
 
-def image_grid(images: List[np.ndarray], rows: Optional[int] = None) -> np.ndarray:
+def image_grid(images: List[np.ndarray], rows: Optional[int] = None,
+               margin: int = 0) -> np.ndarray:
+    """Cells composited row-major; `margin` px of white between cells
+    (reference images.py image_grid + the grid-margins UI option)."""
     n = len(images)
     if rows is None:
         rows = int(math.sqrt(n)) or 1
     cols = math.ceil(n / rows)
     h, w, c = images[0].shape
-    grid = np.zeros((rows * h, cols * w, c), np.uint8)
+    m = max(int(margin), 0)
+    grid = np.full((rows * h + (rows - 1) * m,
+                    cols * w + (cols - 1) * m, c), 255, np.uint8)
     for i, img in enumerate(images):
         r, cc = divmod(i, cols)
-        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = img
+        y, x = r * (h + m), cc * (w + m)
+        grid[y : y + h, x : x + w] = img
     return grid
 
 

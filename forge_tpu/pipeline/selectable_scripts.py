@@ -100,7 +100,8 @@ def _run_prompt_matrix(engine, p: Processing, put_at_start: bool = False,
     from .images import image_grid
 
     rows = 1 << (max(len(parts) - 1, 2) // 2)
-    grid = image_grid([r.images[0] for r in results], rows=rows)
+    grid = image_grid([r.images[0] for r in results], rows=rows,
+                      margin=int(margin_size))
     merged = _merge(results)
     merged.images = [grid] + merged.images
     merged.infotexts = [merged.infotexts[0]] + merged.infotexts
