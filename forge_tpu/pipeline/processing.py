@@ -1320,10 +1320,15 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
         p.extra_generation_params["Extra noise"] = extra_noise
         x = x + jnp.asarray(noise0) * extra_noise
 
+    t1 = time.time()
     latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
                           skip_uncond=(p.cfg_scale == 1.0),
                           mask=mask_latent, init_latent=init_latent, kind="img2img",
                           unet_params=unet_params)
+    # sync before attributing time: jax dispatch is async, and without this
+    # the whole denoise showed up inside the decode phase (bench config3)
+    latent.block_until_ready()
+    _PHASE["sample"] = time.time() - t1
     return _decode_to_uint8(engine, latent, p)
 
 
