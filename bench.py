@@ -141,7 +141,7 @@ def config3():
 
     from forge_tpu.core.state_dict import as_device_tree
 
-    storage = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    storage = jnp.bfloat16 if jax.default_backend() == "tpu" else None
     cn = as_device_tree(nest(transform_for_jax(synth_controlnet_sd(fill="zeros"))),
                         dtype=storage)
     init = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.uint8)

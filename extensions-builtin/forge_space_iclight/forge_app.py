@@ -124,15 +124,9 @@ class ICLightPipeline:
         # uses latent_dist.mode() (:280)
 
     def _hooks(self, fg_latent):
-        import jax.numpy as jnp
-
-        def x_concat(x):
-            c = fg_latent.astype(x.dtype)
-            if x.shape[0] != c.shape[0]:
-                c = jnp.tile(c, (x.shape[0] // c.shape[0], 1, 1, 1))
-            return jnp.concatenate([x, c], axis=-1)
-
-        return {"x_concat": (x_concat,)}
+        # x_concat contract: return the concat source; the UNet broadcasts
+        # the batch and resizes H/W to the active latent
+        return {"x_concat": (lambda x: fg_latent,)}
 
     def run(self, input_fg: np.ndarray, prompt: str,
             a_prompt: str = "best quality", n_prompt: str = "lowres, bad "

@@ -259,12 +259,9 @@ class Api:
             ("POST", "/sdapi/v1/spaces/launch"): self.spaces_launch,
             ("POST", "/sdapi/v1/spaces/terminate"): self.spaces_terminate,
         }
-        from ..pipeline.upscalers import UpscalerRegistry
+        from ..pipeline.upscalers import get_default_registry
 
-        self.upscalers = UpscalerRegistry(model_dirs={
-            "ESRGAN": "models/ESRGAN", "RealESRGAN": "models/RealESRGAN",
-            "SwinIR": "models/SwinIR", "DAT": "models/DAT", "HAT": "models/HAT",
-        })
+        self.upscalers = get_default_registry()
 
     # -- generation ---------------------------------------------------------
 
@@ -359,7 +356,10 @@ class Api:
         body.pop("mask", None)
         p = _processing_from_payload(body)
         p.init_images = init_images
-        if init_images:
+        # derive dims from the init image ONLY when the request omits them:
+        # explicit width/height are a contract (SD upscale uses them as the
+        # tile size, reference scripts/sd_upscale.py)
+        if init_images and not (body.get("width") or body.get("height")):
             p.height, p.width = init_images[0].shape[:2]
         if mask:
             m = _b64_to_image(mask)
@@ -1029,6 +1029,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, result)
         except ApiError as e:
             self._reply(e.status, {"detail": str(e)})
+        except KeyError as e:
+            # registry lookups (upscalers, samplers, preprocessors, scripts)
+            # raise KeyError with an actionable message — a client input
+            # problem, not a server fault
+            self._reply(422, {"detail": str(e.args[0]) if e.args else str(e)})
         except FileNotFoundError as e:
             self._reply(404, {"detail": str(e)})
         except InterruptedError:

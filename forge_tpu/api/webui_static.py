@@ -690,7 +690,7 @@ function payloadFor(m){
     pl.script_args=[...$$(`#${m}-script-args [data-sarg]`)].map(el=>{
       if(el.type==="checkbox")return el.checked;
       if(el.type==="hidden")return null;
-      if(el.type==="number")return +el.value;
+      if(el.type==="number"){const v=+el.value;return Number.isFinite(v)?v:+el.defaultValue||0;}
       if(el.hasAttribute("data-multi"))return [...el.selectedOptions].map(o=>o.value);
       return el.value;});
   }

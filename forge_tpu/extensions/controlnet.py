@@ -87,7 +87,7 @@ def load_control_model(path: str):
     import jax
     import jax.numpy as jnp
 
-    storage = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    storage = jnp.bfloat16 if jax.default_backend() == "tpu" else None  # preserve checkpoint dtype off-TPU
     if any(k.startswith("input_hint_block") for k in sd):
         kind = "controlnet"
         params = as_device_tree(nest(transform_for_jax(sd)), dtype=storage)

@@ -198,9 +198,18 @@ def unet_apply(
     hooks = hooks or {}
     # channel-concat conditioning (IC-Light's hooked_unet_forward,
     # forge_space_iclight/forge_app.py:44-50; also the shape inpaint models
-    # use): extra latent channels appended to x before the stem conv
+    # use): extra latent channels appended to x before the stem conv.
+    # Hooks return the concat SOURCE ([B or 1, h, w, C]); batch broadcast
+    # and H/W resize happen here so one hook survives hires-fix/img2img
+    # passes at other resolutions (same policy as the controlnet hint).
     for fn in hooks.get("x_concat", ()):
-        x = fn(x)
+        c = fn(x)
+        if c.shape[1:3] != x.shape[1:3]:
+            c = jax.image.resize(
+                c, (c.shape[0],) + x.shape[1:3] + (c.shape[3],), "bilinear")
+        if c.shape[0] != x.shape[0]:
+            c = jnp.tile(c, (x.shape[0] // c.shape[0], 1, 1, 1))
+        x = jnp.concatenate([x, c.astype(x.dtype)], axis=-1)
     model_channels = params["time_embed"]["0"]["weight"].shape[1]
     t_emb = nn.timestep_embedding(timesteps, model_channels, dtype=x.dtype)
     emb = nn.linear(t_emb, params["time_embed"]["0"])

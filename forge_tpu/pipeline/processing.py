@@ -1180,9 +1180,9 @@ def _hires_pass(engine, p, latent, seeds, subseeds, cond, uncond, unet_params=No
     info = get_sampler(p.sampler_name)
     target = _hr_target(p)
     if p.hr_upscaler and not p.hr_upscaler.startswith("Latent"):
-        from .upscalers import UpscalerRegistry
+        from .upscalers import get_default_registry
 
-        registry = getattr(engine, "upscalers", None) or UpscalerRegistry()
+        registry = getattr(engine, "upscalers", None) or get_default_registry()
         imgs = np.asarray(engine.decode_to_uint8(latent))
         scale = (target[0] * 8 / imgs.shape[1]) if target else p.hr_scale
         ups = np.stack([
@@ -1260,7 +1260,13 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
             arr = arr / 255.0
         imgs.append(arr * 2.0 - 1.0)
     batch = np.stack([imgs[min(i, len(imgs) - 1)] for i in range(p.batch_size)])
-    init_latent = engine.encode_first_stage(jnp.asarray(batch))
+    plan = getattr(p, "_plan", None)
+    if plan is not None and plan.tiled_vae:
+        # the plan (or NeverOOM's vae_always_tiled) tiles BOTH directions —
+        # the full-size encode has the same peak HBM as the decode
+        init_latent = engine.encode_first_stage_tiled(jnp.asarray(batch))
+    else:
+        init_latent = engine.encode_first_stage(jnp.asarray(batch))
     init_latent = init_latent.astype(jnp.float32)
 
     # latent mask

@@ -153,7 +153,11 @@ def _run_prompts_from_file(engine, p: Processing, checkbox_iterate: bool = False
     lines = [ln for ln in (prompt_txt or "").splitlines() if ln.strip()]
     if not lines:
         raise ValueError("prompts_from_file: no prompt lines given")
-    _fix_seed(p)
+    # seed semantics match the reference: -1 stays -1 (fresh noise per line)
+    # unless iterate (consecutive seeds) or iterate_batch (one shared random
+    # seed for every line) is on
+    if checkbox_iterate or checkbox_iterate_batch:
+        _fix_seed(p)
     results = []
     seed = p.seed
     for ln in lines:
@@ -218,14 +222,19 @@ def _run_sd_upscale(engine, p: Processing, _info: Any = None,
     if p.init_images is None:
         raise ValueError("SD upscale needs an init image (img2img)")
     _fix_seed(p)
-    from .upscalers import UpscalerRegistry
+    from .upscalers import get_default_registry
 
-    registry = getattr(engine, "upscalers", None) or UpscalerRegistry()
+    registry = getattr(engine, "upscalers", None) or get_default_registry()
     img = np.asarray(p.init_images[0])
+    scale_factor = max(float(scale_factor), 1.0)
     if upscaler_name and upscaler_name != "None":
         img = np.asarray(registry.get(upscaler_name).upscale(img, scale_factor))
 
-    th, tw = p.height, p.width
+    # tile never exceeds the upscaled image (reference split_grid contract);
+    # clamp to 64-multiples so the latent sides stay even
+    th = max(min(p.height, img.shape[0]) // 64 * 64, 64)
+    tw = max(min(p.width, img.shape[1]) // 64 * 64, 64)
+    p.height, p.width = th, tw
     H, W = img.shape[:2]
     stride_y = max(th - overlap, 1)
     stride_x = max(tw - overlap, 1)
@@ -480,8 +489,13 @@ def _cfg_apply(engine, cond, uncond, cfg_scale):
 
     from ..sampling import cfg as cfg_mod
 
+    # one jitted raw apply per engine: a fresh jax.jit each call would own
+    # an empty compile cache and re-trace the whole UNet every request
+    key = ("script_raw_apply",)
+    if key not in engine._jit_cache:
+        engine._jit_cache[key] = jax.jit(engine.unet_apply_fn())
     apply = cfg_mod.make_apply_model(
-        jax.jit(engine.unet_apply_fn()), engine.loaded.unet,
+        engine._jit_cache[key], engine.loaded.unet,
         engine.predictor, engine.compute_dtype)
 
     def denoise(x, sigma):
@@ -526,6 +540,15 @@ def _run_img2img_alt(engine, p: Processing, _info: Any = None,
     _fix_seed(p)
     decode_steps = st if override_steps else p.steps
     img = np.asarray(p.init_images[0])
+    # fit to the processing size (64-rounded): arbitrary init dims produce
+    # odd latent sides that break UNet skip shapes
+    p.width = max(p.width - p.width % 64, 64)
+    p.height = max(p.height - p.height % 64, 64)
+    if img.shape[:2] != (p.height, p.width):
+        from PIL import Image
+
+        img = np.asarray(Image.fromarray(img).resize(
+            (p.width, p.height), Image.LANCZOS))
     x01 = jnp.asarray(img[None].astype(np.float32) / 127.5 - 1.0)
     latent = np.asarray(engine.encode_first_stage(x01), np.float32)
 

@@ -275,4 +275,27 @@ class UpscalerRegistry:
         return fn
 
     def get(self, name: str) -> Upscaler:
-        return self.upscalers.get(name, self.upscalers["Lanczos"])
+        if name in self.upscalers:
+            return self.upscalers[name]
+        low = (name or "").lower()
+        for key, u in self.upscalers.items():
+            if key.lower() == low:
+                return u
+        raise KeyError(f"unknown upscaler {name!r} — available: "
+                       + ", ".join(sorted(self.upscalers)))
+
+
+_DEFAULT_REGISTRY = None
+
+
+def get_default_registry() -> "UpscalerRegistry":
+    """Process-wide registry over the standard models/ dirs — one discovery,
+    shared by the API, hires-fix, and the SD-upscale script (each used to
+    build its own empty registry and silently fall back to Lanczos)."""
+    global _DEFAULT_REGISTRY
+    if _DEFAULT_REGISTRY is None:
+        _DEFAULT_REGISTRY = UpscalerRegistry(model_dirs={
+            "ESRGAN": "models/ESRGAN", "RealESRGAN": "models/RealESRGAN",
+            "SwinIR": "models/SwinIR", "DAT": "models/DAT", "HAT": "models/HAT",
+        })
+    return _DEFAULT_REGISTRY

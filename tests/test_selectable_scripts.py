@@ -106,13 +106,17 @@ def test_img2img_alt_roundtrip(engine):
     """Reverse-Euler reconstruction: zero randomness + the original prompt
     re-samples close to the init image (the script's defining property)."""
     rng = np.random.default_rng(3)
-    init = rng.integers(60, 200, (32, 32, 3)).astype(np.uint8)
+    # deliberately non-/64 dims: the script must fit them to the processing
+    # size (odd latent sides break UNet skip shapes)
+    init = rng.integers(60, 200, (50, 37, 3)).astype(np.uint8)
     r = get_script("img2img alternative test").run(
-        engine, _p(prompt="a cat", cfg_scale=1.5, init_images=[init]),
+        engine, _p(prompt="a cat", cfg_scale=1.5, init_images=[init],
+                   width=64, height=64),
         None, True, "a cat", "", True, 6, 0.0, True)
-    assert r.images[0].shape == (32, 32, 3)
+    assert r.images[0].shape == (64, 64, 3)
     # different target prompt changes the output
     r2 = get_script("img2img alternative test").run(
-        engine, _p(prompt="a dog in space", cfg_scale=7.0, init_images=[init]),
+        engine, _p(prompt="a dog in space", cfg_scale=7.0, init_images=[init],
+                   width=64, height=64),
         None, True, "a cat", "", True, 6, 0.0, True)
     assert not np.array_equal(r.images[0], r2.images[0])
