@@ -11,6 +11,13 @@ Applied through the ``attn2_context_patch`` hook slot (pre-projection —
 post-projection patches can't express this, which is why the slot exists).
 Both checkpoint layouts load: old ("linear1.weight"/"linear2.weight") and
 new ("linear.0.weight", …, with optional LayerNorm interleave).
+
+Note on jit plumbing: these param trees are CLOSED OVER by the compiled
+denoise loop rather than passed as jit arguments. The 28 ms/dispatch
+closure-tree cost (PERF.md) is paid once per GENERATION here — the whole
+sampler loop is one dispatch — not per step, so explicit-arg plumbing
+through every hook slot isn't worth the ABI churn. Trees must still be
+device-resident (as_device_tree) to avoid HLO constant-folding.
 """
 
 from __future__ import annotations

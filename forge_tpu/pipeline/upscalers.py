@@ -211,7 +211,6 @@ class UpscalerRegistry:
             meta = infer_hat_meta(params)
             model_scale = meta["scale"]
             _jf = jax.jit(lambda p, t: hat_apply(p, t, **meta))
-            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         elif any("residual_group" in k for k in raw):
             from ..models.swinir import infer_swinir_meta, load_swinir, swinir_apply
 
@@ -221,7 +220,6 @@ class UpscalerRegistry:
             _jf = jax.jit(lambda p, t: swinir_apply(
                 p, t, window_size=meta["window_size"],
                 heads=meta["heads"], scale=model_scale))
-            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         elif any("spatial_interaction" in k for k in raw) and any(
                 k.startswith("before_RG") for k in raw):
             from ..models.dat import dat_apply, infer_dat_meta, load_dat
@@ -231,7 +229,6 @@ class UpscalerRegistry:
             model_scale = meta["scale"]
             _jf = jax.jit(lambda p, t: dat_apply(p, t, heads=meta["heads"],
                                                  scale=model_scale))
-            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         elif any("trans_block.msa" in k for k in raw):
             from ..models.scunet import infer_scunet_meta, load_scunet, scunet_apply
 
@@ -239,7 +236,6 @@ class UpscalerRegistry:
             meta = infer_scunet_meta(params)
             model_scale = 1  # SCUNet denoises at native resolution
             _jf = jax.jit(lambda p, t: scunet_apply(p, t, **meta))
-            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
         else:
             from ..core.state_dict import as_device_tree
 
@@ -247,7 +243,9 @@ class UpscalerRegistry:
             params = as_device_tree(nest(transform_for_jax(sd)))
             model_scale = 4
             _jf = jax.jit(lambda p, t: rrdbnet_apply(p, t, model_scale))
-            apply_fn = lambda t, _p=params, _jf=_jf: _jf(_p, t)  # noqa: E731
+        import functools
+
+        apply_fn = functools.partial(_jf, params)
         self._gan_cache[path] = (apply_fn, model_scale)
         return self._gan_cache[path]
 

@@ -136,15 +136,18 @@ def _patch_embed(p: Mapping[str, Any], x: jax.Array) -> jax.Array:
     return nn.layer_norm(x, p["norm"], eps=1e-5)
 
 
-def uniformer_features(params: Mapping[str, Any], x: jax.Array):
-    """Backbone forward_features: 4 per-stage LayerNormed feature maps."""
+def uniformer_features(params: Mapping[str, Any], x: jax.Array,
+                       head_dim: int = 64):
+    """Backbone forward_features: 4 per-stage LayerNormed feature maps.
+    head_dim sets the attention head split in stages 3-4 (UniFormer-S/B
+    use 64; tests pass 16 so tiny widths still exercise multi-head)."""
     outs = []
     for stage in (1, 2, 3, 4):
         x = _patch_embed(params[f"patch_embed{stage}"], x)
         blocks = params[f"blocks{stage}"]
         for i in range(len(blocks)):
             bp = blocks[str(i)]
-            x = _cblock(bp, x) if "conv1" in bp else _sablock(bp, x)
+            x = _cblock(bp, x) if "conv1" in bp else _sablock(bp, x, head_dim)
         outs.append(_ln(x, params[f"norm{stage}"]))
     return outs
 

@@ -626,9 +626,12 @@ def _stub_uniformer_deps():
     tly.trunc_normal_ = lambda t, std=0.02: torch.nn.init.trunc_normal_(t, std=std)
     timm.models = tml
     tml.layers = tly
-    sys.modules.setdefault("timm", timm)
-    sys.modules["timm.models"] = tml
-    sys.modules["timm.models.layers"] = tly
+    # stub ONLY when the real package is absent — overwriting just the
+    # submodules of an installed timm would corrupt it for later tests
+    if "timm" not in sys.modules and importlib.util.find_spec("timm") is None:
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = tml
+        sys.modules["timm.models.layers"] = tly
 
     mmseg_utils = _mod("mmseg.utils")
     mmseg_utils.get_root_logger = lambda *a, **k: None
@@ -641,10 +644,11 @@ def _stub_uniformer_deps():
     mmseg_builder.BACKBONES = _Registry()
     mmseg = _mod("mmseg")
     mmseg_models = _mod("mmseg.models")
-    sys.modules.setdefault("mmseg", mmseg)
-    sys.modules["mmseg.utils"] = mmseg_utils
-    sys.modules["mmseg.models"] = mmseg_models
-    sys.modules["mmseg.models.builder"] = mmseg_builder
+    if "mmseg" not in sys.modules and importlib.util.find_spec("mmseg") is None:
+        sys.modules["mmseg"] = mmseg
+        sys.modules["mmseg.utils"] = mmseg_utils
+        sys.modules["mmseg.models"] = mmseg_models
+        sys.modules["mmseg.models.builder"] = mmseg_builder
 
     mmcv_custom = _mod("annotator.uniformer.mmcv_custom")
     mmcv_custom.load_checkpoint = lambda *a, **k: None
@@ -668,12 +672,13 @@ def test_uniformer_backbone_parity():
     with torch.no_grad():
         want = [t.numpy() for t in net(x)]
     params = _to_jax(net.state_dict())
-    got = uniformer_features(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    got = uniformer_features(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                             head_dim=16)  # match the torch net's head split
     for w, g in zip(want, got):
         g = np.asarray(g).transpose(0, 3, 1, 2)
         assert w.shape == g.shape
-        # f32 rounding accumulates through 4 stages of BN/LN/attention
-        assert np.abs(w - g).max() < 3e-4, np.abs(w - g).max()
+        # with head counts matched, only f32 rounding remains
+        assert np.abs(w - g).max() < 1e-5, np.abs(w - g).max()
 
 
 class _TorchUPerHead(torch.nn.Module):
