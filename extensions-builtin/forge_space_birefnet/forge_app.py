@@ -21,7 +21,7 @@ import numpy as np
 PAGE = """<!doctype html><html><head><title>Remove Background</title>
 <style>body{font-family:sans-serif;background:#111;color:#eee;max-width:720px;
 margin:2em auto}img{max-width:100%%;background:
-repeating-conic-gradient(#333 0 25%%,#222 0 50%%) 0 0/20px 20px}
+repeating-conic-gradient(#333 0 25%,#222 0 50%) 0 0/20px 20px}
 button{padding:.5em 1.5em}</style></head><body>
 <h2>Remove Background</h2>
 <input type=file id=f accept=image/*>

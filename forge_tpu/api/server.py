@@ -897,6 +897,11 @@ class Api:
         """Restart-in-place (reference webui.py:147-176 server restart loop):
         shut the server down with restart_requested set — the webui serve
         loop re-execs the process."""
+        # gate check FIRST: a rejected restart must not latch
+        # restart_requested (a later legitimate shutdown would re-exec)
+        if not CMD_FLAGS.get("api_server_stop", True):
+            raise ApiError(404, "server stop/restart disabled "
+                                "(pass --api-server-stop)")
         server = getattr(self, "_server", None)
         if server is not None:
             server.restart_requested = True

@@ -228,6 +228,19 @@ def build_faceid_hooks(
                           uncond_tokens=un).build_hooks()
 
 
+
+def _decode_unit_image(img):
+    """base64 (optionally data-URL) → RGB array; arrays pass through."""
+    if isinstance(img, str):
+        import base64
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(img.split(",", 1)[-1]))).convert("RGB"))
+    return img
+
 def attach(p, unit: Mapping[str, Any]) -> None:
     """alwayson-script entry (API payload → Processing). Fields:
     adapter_path, weight, and ONE of: image (b64/array, regular/plus with
@@ -246,30 +259,14 @@ def attach(p, unit: Mapping[str, Any]) -> None:
             raise ValueError("FaceID adapter needs precomputed face_embeds")
         cv = (load_ip_adapter(unit["clip_vision_path"])
               if unit.get("clip_vision_path") else None)
-        img = unit.get("image")
-        if isinstance(img, str):
-            import base64
-            import io
-
-            from PIL import Image
-
-            img = np.asarray(Image.open(io.BytesIO(
-                base64.b64decode(img.split(",", 1)[-1]))).convert("RGB"))
+        img = _decode_unit_image(unit.get("image"))
         hooks = build_faceid_hooks(params, np.asarray(face, np.float32),
                                    clip_vision_params=cv, image=img,
                                    weight=weight, batch_size=batch,
                                    faceid_v2=bool(unit.get("faceid_v2")),
                                    weight_v2=float(unit.get("weight_v2", 1.0)))
     else:
-        img = unit.get("image")
-        if isinstance(img, str):
-            import base64
-            import io
-
-            from PIL import Image
-
-            img = np.asarray(Image.open(io.BytesIO(
-                base64.b64decode(img.split(",", 1)[-1]))).convert("RGB"))
+        img = _decode_unit_image(unit.get("image"))
         cv = load_ip_adapter(unit["clip_vision_path"])
         hooks = build_ip_adapter_hooks(params, cv, img, weight=weight,
                                        batch_size=batch)

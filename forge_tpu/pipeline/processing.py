@@ -374,8 +374,6 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
             apply_model = make_tiled_apply(
                 apply_model, x.shape[1], x.shape[2],
                 tile=int(td.get("tile", 96)), overlap=int(td.get("overlap", 32)))
-            p.extra_generation_params.setdefault(
-                "Tiled Diffusion", f"MultiDiffusion tile {td.get('tile', 96)}")
         model_fn = cfg_mod.make_cfg_model_fn(
             apply_model, cond, None if skip_uncond else uncond,
             cfg_scale * info.cfg_multiplier, cfg_rescale=p.cfg_rescale,
@@ -919,6 +917,12 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
         manifest_digest(p._cb_pre_hooks) if p._cb_pre_hooks else None,
         manifest_digest(p._cb_post_hooks) if p._cb_post_hooks else None,
     )
+    if p.tiled_diffusion:
+        # infotext record lives OUTSIDE the traced fn: a jit-cache hit
+        # skips tracing and used to drop the key from reproducibility data
+        p.extra_generation_params.setdefault(
+            "Tiled Diffusion",
+            f"MultiDiffusion tile {p.tiled_diffusion.get('tile', 96)}")
     if key not in engine._jit_cache:
         engine._jit_cache[key] = _build_sample_fn(
             engine, p, skip_uncond, mask is not None, np.asarray(sigmas, np.float32),

@@ -89,10 +89,12 @@ class StyleDatabase:
             self.default_path = matches[0] if matches else os.path.join(
                 folder, "styles.csv")
         self.styles: Dict[str, PromptStyle] = {}
+        self._owned_paths = set()  # files that contributed >=1 style
         self.reload()
 
     def reload(self):
         self.styles.clear()
+        self._owned_paths = set()
         files: List[str] = []
         for pattern in self.paths:
             if any(c in os.path.basename(pattern) for c in "*?"):
@@ -120,6 +122,7 @@ class StyleDatabase:
                     self.styles[name] = PromptStyle(
                         name, prompt or "", row.get("negative_prompt") or "",
                         path)
+                    self._owned_paths.add(path)
         except Exception as e:  # noqa: BLE001 — a bad csv must not kill startup
             print(f"error loading styles from {path}: {e}")
 
@@ -128,11 +131,15 @@ class StyleDatabase:
         the default path); keeps a .bak like the reference
         (modules/styles.py:184)."""
         by_path: Dict[str, List[PromptStyle]] = {}
+        # every file that previously OWNED a style must be rewritten even if
+        # it now owns none — otherwise deleting a file's last style leaves
+        # the stale row on disk and it resurrects on reload
+        for known in list(getattr(self, "_owned_paths", ())) + [path or self.default_path]:
+            if known:
+                by_path.setdefault(known, [])
         for style in self.styles.values():
             target = path or style.path or self.default_path
             by_path.setdefault(target, []).append(style)
-        if not by_path and (path or self.default_path):
-            by_path[path or self.default_path] = []
         for target, styles in by_path.items():
             if os.path.exists(target):
                 shutil.copy(target, target + ".bak")

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "tests")
 
-from fixtures import CTX, make_tiny_engine
+from fixtures import CTX, MODEL_CH, make_tiny_engine
 from forge_tpu.pipeline.ipadapter import (IPAdapterState, build_faceid_hooks,
                                           build_instantid, is_faceid_adapter,
                                           project_faceid_embeds)
@@ -166,3 +166,55 @@ def test_instantid_e2e_with_controlnet(engine):
     p3.controlnets = [_dc.replace(cn2, context_override=None, digest="iid-noctx")]
     out3 = process_images(engine, p3).images[0]
     assert not np.array_equal(out, out3), "controlnet context override is a no-op"
+
+
+def test_ipadapter_survives_hires_pass(engine):
+    """Regression: the attn2 layer indexing must be idempotent across jit
+    traces — a monotonic counter kept advancing on the hires re-trace and
+    the second pass silently rendered without the adapter."""
+    import jax.numpy as jnp
+
+    from forge_tpu.pipeline.ipadapter import IPAdapterState
+    from forge_tpu.pipeline.processing import Processing, process_images
+
+    rng = np.random.default_rng(0)
+    # attn2 widths in trace order (input blocks asc, middle, output blocks
+    # asc) straight from the engine tree
+    tree = engine.loaded.unet
+    widths = []
+    for section in ("input_blocks", "middle_block", "output_blocks"):
+        sec = tree[section]
+        groups = [sec] if section == "middle_block" else [
+            sec[k] for k in sorted(sec, key=int)]
+        for g in groups:
+            for sub in ([g[k] for k in sorted(g, key=int)]
+                        if section != "middle_block" else [g[k] for k in sorted(g, key=int)]):
+                if isinstance(sub, dict) and "transformer_blocks" in sub:
+                    tb = sub["transformer_blocks"]
+                    for i in sorted(tb, key=int):
+                        widths.append(tb[i]["attn2"]["to_q"]["weight"].shape[0])
+    layers = {str(i * 2 + 1): {
+        "to_k_ip": {"weight": jnp.asarray(
+            rng.standard_normal((w, CTX)) * 0.05, jnp.float32)},
+        "to_v_ip": {"weight": jnp.asarray(
+            rng.standard_normal((w, CTX)) * 0.05, jnp.float32)},
+    } for i, w in enumerate(widths)}
+    toks = jnp.asarray(rng.standard_normal((1, 4, CTX)) * 0.3, jnp.float32)
+
+    def make_p():
+        p = Processing(prompt="cat", seed=5, steps=2, width=32, height=32,
+                       enable_hr=True, hr_scale=2.0, hr_second_pass_steps=2,
+                       hr_denoising_strength=0.6)
+        st = IPAdapterState(params={"ip_adapter": layers}, ip_tokens=toks,
+                            weight=1.0)
+        p.unet_hooks = st.build_hooks()
+        return p
+
+    base = Processing(prompt="cat", seed=5, steps=2, width=32, height=32,
+                      enable_hr=True, hr_scale=2.0, hr_second_pass_steps=2,
+                      hr_denoising_strength=0.6)
+    with_ip = process_images(engine, make_p())
+    without = process_images(engine, base)
+    assert with_ip.images[0].shape == (64, 64, 3)
+    assert not np.array_equal(with_ip.images[0], without.images[0]), \
+        "adapter had no effect on the hires output"
