@@ -223,6 +223,7 @@ class Api:
             ("GET", "/sdapi/v1/latent-upscale-modes"): lambda q, b: [
                 {"name": n} for n in LATENT_UPSCALE_MODES],
             ("GET", "/sdapi/v1/localization"): self.get_localization,
+            ("POST", "/sdapi/v1/create/embedding"): self.create_embedding,
             ("GET", "/sdapi/v1/prompt-styles"): self.get_prompt_styles,
             ("POST", "/sdapi/v1/prompt-styles"): self.save_prompt_style,
             ("POST", "/sdapi/v1/refresh-prompt-styles"): self.refresh_prompt_styles,
@@ -403,6 +404,22 @@ class Api:
                  "negative_prompt": s.negative_prompt}
                 for s in prompt_styles.styles.values()]
 
+
+    def create_embedding(self, query, body):
+        """Reference api.py:782 create_embedding → textual_inversion
+        create_embedding; returns {info: path} like the CreateResponse."""
+        from ..text.textual_inversion import create_embedding
+
+        path = create_embedding(
+            self._engine(),
+            name=body.get("name", ""),
+            num_vectors=int(body.get("num_vectors_per_token",
+                                     body.get("num_vectors", 1))),
+            init_text=body.get("init_text", "*"),
+            overwrite=bool(body.get("overwrite_old", False)),
+            out_dir=body.get("out_dir", CMD_FLAGS.get("embeddings_dir")
+                             or "embeddings"))
+        return {"info": f"create embedding filename: {path}"}
 
     def get_localization(self, query, body):
         """Selected UI localization dict (reference modules/localization.py

@@ -82,3 +82,55 @@ class EmbeddingDatabase:
                 vec = emb.vectors_g if which == "g" and emb.vectors_g is not None else emb.vectors
                 return vec, len(ids)
         return None
+
+
+def create_embedding(engine, name: str, num_vectors: int = 1,
+                     init_text: str = "*", overwrite: bool = False,
+                     out_dir: str = "embeddings") -> str:
+    """Create a textual-inversion embedding initialized from the token
+    embeddings of `init_text` (reference modules/textual_inversion/
+    textual_inversion.py:254 create_embedding + /sdapi/v1/create/embedding,
+    api.py:782). The reference keeps only embedding CREATION from A1111 —
+    training was stripped — so this is full parity. Saves the safetensors
+    'emb_params' format the loader reads back; → saved path."""
+    import re
+
+    from ..core.save import save_safetensors
+
+    safe = "".join(c for c in name if c.isalnum() or c in "._- ").strip()
+    if not safe:
+        raise ValueError(f"embedding name {name!r} has no legal characters")
+    path = os.path.join(out_dir, safe + ".safetensors")
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(f"{path} exists (pass overwrite)")
+
+    te = None
+    for cand in ("clip_l", "clip", "open_clip_h", "open_clip_g"):
+        if cand in getattr(engine, "text_engines", {}):
+            te = engine.text_engines[cand]
+            break
+    if te is None:
+        te = next(iter(engine.text_engines.values()))
+    table = np.asarray(_token_table(te.params), np.float32)
+    width = table.shape[1]
+    vec = np.zeros((max(int(num_vectors), 1), width), np.float32)
+    if init_text:
+        ids = list(te.tokenizer.ids(init_text))
+        if ids:
+            emb = table[np.asarray(ids)]
+            for i in range(vec.shape[0]):
+                vec[i] = emb[i * len(ids) // vec.shape[0]]
+    os.makedirs(out_dir, exist_ok=True)
+    save_safetensors({"emb_params": vec}, path)
+    return path
+
+
+def _token_table(params) -> np.ndarray:
+    """token-embedding weight from an HF-layout CLIP/open-clip tree."""
+    node = params
+    for key in ("text_model", "embeddings", "token_embedding", "weight"):
+        if isinstance(node, dict) and key in node:
+            node = node[key]
+    if hasattr(node, "shape") and getattr(node, "ndim", 0) == 2:
+        return node
+    raise ValueError("text encoder has no token_embedding table")

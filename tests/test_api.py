@@ -309,3 +309,17 @@ def test_extras_focal_crop(server):
     assert out.shape == (64, 64, 3)
     # the busy region (right) must dominate the crop: its mean is high
     assert out.mean() > img[:, 32:96].mean() + 10
+
+
+def test_create_embedding(server, tmp_path):
+    """/sdapi/v1/create/embedding (reference api.py:782): token-embedding
+    initialized vectors land as a loadable safetensors file."""
+    r = _post("/sdapi/v1/create/embedding", {
+        "name": "my-token", "num_vectors_per_token": 2,
+        "init_text": "cat", "out_dir": str(tmp_path)})
+    assert "my-token.safetensors" in r["info"]
+    from forge_tpu.core.state_dict import load_state_dict
+
+    sd = load_state_dict(str(tmp_path / "my-token.safetensors"))
+    assert sd["emb_params"].shape[0] == 2
+    assert np.abs(sd["emb_params"]).max() > 0  # init_text copied something
