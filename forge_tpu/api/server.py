@@ -882,11 +882,19 @@ class Api:
             if not db.available:
                 return {"caption": "", "detail": "no deepbooru checkpoint "
                         "under models/torch_deepdanbooru"}
-            try:
-                thr = float(opts.get("interrogate_deepbooru_score_threshold"))
-            except KeyError:
-                thr = 0.5
-            caption = work_queue.run_and_wait(db.tag, img, threshold=thr)
+            def ob(key, default):
+                try:
+                    return opts.get(key)
+                except KeyError:
+                    return default
+
+            caption = work_queue.run_and_wait(
+                db.tag, img,
+                threshold=float(ob("interrogate_deepbooru_score_threshold", 0.5)),
+                alpha_sort=bool(ob("deepbooru_sort_alpha", False)),
+                use_spaces=bool(ob("deepbooru_use_spaces", True)),
+                use_escape=bool(ob("deepbooru_escape", True)),
+                filter_tags=str(ob("deepbooru_filter_tags", "")))
             return {"caption": caption}
         from ..postprocessing.interrogate import get_interrogator
 

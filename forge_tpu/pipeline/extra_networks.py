@@ -23,12 +23,24 @@ from ..core.tree import flatten
 _EN_RE = re.compile(r"<(\w+):([^>]+)>")
 
 
+def _default_multiplier() -> float:
+    """<lora:name> with no weight uses the extra_networks_default_multiplier
+    option (reference extra_networks.py + shared option)."""
+    try:
+        from ..runtime.options import opts
+
+        return float(opts.get("extra_networks_default_multiplier"))
+    except Exception:  # noqa: BLE001 — options may not be initialized
+        return 1.0
+
+
 class ExtraNetworkParams:
     def __init__(self, kind: str, items: List[str]):
         self.kind = kind
         self.items = items
         self.name = items[0] if items else ""
-        self.te_multiplier = float(items[1]) if len(items) > 1 else 1.0
+        default = _default_multiplier()
+        self.te_multiplier = float(items[1]) if len(items) > 1 else default
         self.unet_multiplier = float(items[2]) if len(items) > 2 else self.te_multiplier
 
 

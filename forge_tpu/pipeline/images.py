@@ -248,3 +248,46 @@ from .infotext import (  # noqa: E402,F401
     parse_generation_parameters,
 )
 
+
+
+def resize_init_image(img: np.ndarray, w: int, h: int, mode: int = 0,
+                      upscaler: str = "", registry=None) -> np.ndarray:
+    """Reference images.resize_image semantics for img2img init images:
+    mode 0 'Just resize', 1 'Crop and resize' (scale to cover, center
+    crop), 2 'Resize and fill' (scale to fit, edges filled by replicating
+    the border rows/cols). When enlarging and the `upscaler_for_img2img`
+    option names a GAN upscaler, it assists the resize like the reference's
+    upscaler-assisted path."""
+    from PIL import Image
+
+    ih, iw = img.shape[:2]
+    if (ih, iw) == (h, w):
+        return img
+
+    def scale_to(tw: int, th: int, src: np.ndarray) -> np.ndarray:
+        sh, sw = src.shape[:2]
+        if upscaler and upscaler != "None" and registry is not None \
+                and (tw > sw or th > sh):
+            factor = max(tw / sw, th / sh)
+            try:
+                src = np.asarray(registry.get(upscaler).upscale(src, factor))
+            except KeyError:
+                pass  # unknown name: plain resize below
+        return np.asarray(Image.fromarray(src.astype(np.uint8)).resize(
+            (tw, th), Image.LANCZOS))
+
+    if mode == 1:  # crop and resize: cover, center crop
+        k = max(w / iw, h / ih)
+        rw, rh = int(round(iw * k)), int(round(ih * k))
+        r = scale_to(rw, rh, img)
+        top, left = (rh - h) // 2, (rw - w) // 2
+        return r[top:top + h, left:left + w]
+    if mode == 2:  # resize and fill: fit, replicate border into the gaps
+        k = min(w / iw, h / ih)
+        rw, rh = max(int(round(iw * k)), 1), max(int(round(ih * k)), 1)
+        r = scale_to(rw, rh, img)
+        top = (h - rh) // 2
+        left = (w - rw) // 2
+        return np.pad(r, ((top, h - rh - top), (left, w - rw - left), (0, 0)),
+                      mode="edge")
+    return scale_to(w, h, img)  # mode 0 / fallback

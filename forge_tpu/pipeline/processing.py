@@ -74,6 +74,9 @@ class Processing:
     extra_generation_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     # img2img
     init_images: Optional[List[np.ndarray]] = None  # [H,W,3] uint8/float
+    # reference resize modes (processing.py images.resize_image): 0 just
+    # resize, 1 crop and resize, 2 resize and fill, 3 just resize (latent)
+    resize_mode: int = 0
     denoising_strength: float = 0.75
     inpaint_mask: Optional[np.ndarray] = None  # [H,W] float 0..1, 1=repaint
     mask_blur: float = 4.0
@@ -819,6 +822,38 @@ def _tree_bytes(tree) -> int:
     return sum(getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree))
 
 
+
+def _opt_float(key: str) -> float:
+    from ..runtime.options import opts
+
+    try:
+        return float(opts.get(key) or 0.0)
+    except KeyError:
+        return 0.0
+
+
+def _ngms_split(p, sigmas) -> Optional[int]:
+    """NGMS split index: first step whose σ drops below s_min_uncond
+    (reference NGMS skips the uncond eval there). None = no split."""
+    thr = _opt_float("s_min_uncond")
+    if thr <= 0 or p.cfg_scale == 1.0 or getattr(p, "_cond_branches", None):
+        return None
+    below = np.asarray(sigmas[:-1]) < thr
+    if not below.any() or below.all():
+        return None
+    k = int(np.argmax(below))
+    return k if 0 < k < len(sigmas) - 1 else None
+
+
+def _opt_str(key: str) -> str:
+    from ..runtime.options import opts
+
+    try:
+        return str(opts.get(key) or "")
+    except KeyError:
+        return ""
+
+
 def _opt_bool(key: str) -> bool:
     from ..runtime.options import opts
 
@@ -1060,8 +1095,28 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                                  n_steps, unet_params)
         engine_out = engine
     else:
-        latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
-                              skip_uncond=(p.cfg_scale == 1.0), unet_params=unet_params)
+        ngms = _ngms_split(p, sigmas)
+        if ngms is not None:
+            # NGMS (s_min_uncond): below the σ threshold the uncond pass is
+            # skipped entirely — two compiled scans over the split schedule
+            # (reference sd_samplers_cfg_denoiser skip-early-cond; multistep
+            # history resets at the seam like the refiner split)
+            k = ngms
+            latent = _run_sampler(
+                engine, p, x, sigmas[: k + 1],
+                step_noise[:k] if step_noise is not None else None,
+                cond, uncond, skip_uncond=(p.cfg_scale == 1.0),
+                unet_params=unet_params)
+            latent = _run_sampler(
+                engine, p, latent, sigmas[k:],
+                step_noise[k:] if step_noise is not None else None,
+                cond, uncond, skip_uncond=True, kind="ngms_tail",
+                unet_params=unet_params)
+            p.extra_generation_params.setdefault(
+                "NGMS", _opt_float("s_min_uncond"))
+        else:
+            latent = _run_sampler(engine, p, x, sigmas, step_noise, cond, uncond,
+                                  skip_uncond=(p.cfg_scale == 1.0), unet_params=unet_params)
         engine_out = engine
     latent.block_until_ready()
     _PHASE["sample"] = time.time() - t1
@@ -1256,10 +1311,20 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     if p.scripts is not None:
         p.scripts.before_process_init_images(p)
 
-    # init latent from the VAE
+    # init latent from the VAE; init images resize to the requested dims
+    # per p.resize_mode first (reference images.resize_image — without this
+    # a size-mismatched request shape-crashed instead of resizing)
+    from .images import resize_init_image
+
     imgs = []
     for im in p.init_images:
-        arr = np.asarray(im).astype(np.float32)
+        arr = np.asarray(im)
+        if arr.shape[:2] != (p.height, p.width) and p.resize_mode != 3:
+            arr = resize_init_image(
+                arr, p.width, p.height, mode=p.resize_mode,
+                upscaler=_opt_str("upscaler_for_img2img"),
+                registry=getattr(engine, "upscalers", None))
+        arr = arr.astype(np.float32)
         if arr.max() > 1.5:
             arr = arr / 255.0
         imgs.append(arr * 2.0 - 1.0)
@@ -1272,6 +1337,10 @@ def _sample_img2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
     else:
         init_latent = engine.encode_first_stage(jnp.asarray(batch))
     init_latent = init_latent.astype(jnp.float32)
+    if p.resize_mode == 3 and init_latent.shape[1:3] != (h8, w8):
+        # 'Just resize (latent upscale)': interpolate in latent space
+        init_latent = _latent_upscale(init_latent, 1.0, target=(h8, w8),
+                                      mode="Latent (bilinear)")
 
     # latent mask
     mask_latent = None

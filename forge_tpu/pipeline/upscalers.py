@@ -185,7 +185,8 @@ class UpscalerRegistry:
         for kind, d in self.model_dirs.items():
             for path in sorted(glob.glob(os.path.join(d, "*.safetensors")) + glob.glob(os.path.join(d, "*.pth"))):
                 name = os.path.splitext(os.path.basename(path))[0]
-                self.upscalers[name] = Upscaler(name, self._make_gan_fn(path), 4)
+                self.upscalers[name] = Upscaler(
+                    name, self._make_gan_fn(path, arch=kind), 4)
 
     def _load_model(self, path: str):
         """Sniff architecture from checkpoint keys (the spandrel-registry
@@ -249,7 +250,7 @@ class UpscalerRegistry:
         self._gan_cache[path] = (apply_fn, model_scale)
         return self._gan_cache[path]
 
-    def _make_gan_fn(self, path: str):
+    def _make_gan_fn(self, path: str, arch: str = "ESRGAN"):
         def fn(img: np.ndarray, scale: float) -> np.ndarray:
             apply_fn, model_scale = self._load_model(path)
             x = np.asarray(img, np.float32)
@@ -258,11 +259,18 @@ class UpscalerRegistry:
 
             from ..runtime.options import opts
 
+            # per-architecture tile options (reference SWIN_tile/DAT_tile/
+            # ESRGAN_tile + overlaps); unknown arch falls back to ESRGAN's
+            key = {"SwinIR": "SWIN", "DAT": "DAT"}.get(arch, "ESRGAN")
             try:
-                tile = int(opts.get("ESRGAN_tile"))
-                ov = int(opts.get("ESRGAN_tile_overlap"))
+                tile = int(opts.get(f"{key}_tile"))
+                ov = int(opts.get(f"{key}_tile_overlap"))
             except KeyError:
-                tile, ov = 192, 8
+                try:
+                    tile = int(opts.get("ESRGAN_tile"))
+                    ov = int(opts.get("ESRGAN_tile_overlap"))
+                except KeyError:
+                    tile, ov = 192, 8
             out = tiled_upscale(x, apply_fn, model_scale,
                                 tile_size=tile or 192, overlap=max(ov, 1))
             out = np.clip(out, 0, 1)

@@ -142,18 +142,41 @@ class ClipInterrogator:
         blip = get_blip()
         if blip.available:
             try:
-                parts.append(blip.caption(image))
+                def oi(key, default):
+                    try:
+                        return int(opts.get(key))
+                    except KeyError:
+                        return default
+
+                parts.append(blip.caption(
+                    image, max_length=max(oi("interrogate_clip_max_length", 48),
+                                          oi("interrogate_clip_min_length", 24))))
             except Exception as e:
                 print(f"BLIP caption failed: {e}")
+        try:
+            dict_limit = int(opts.get("interrogate_clip_dict_limit"))
+        except KeyError:
+            dict_limit = 0
+        skip = set()
+        try:
+            skip = {x.strip() for x in
+                    str(opts.get("interrogate_clip_skip_categories") or "").split(",")
+                    if x.strip()}
+        except KeyError:
+            pass
         for name in _CATEGORY_ORDER:
             terms = cats.get(name)
-            if not terms:
+            if not terms or name in skip:
                 continue
+            if dict_limit:
+                terms = terms[:dict_limit]
             for term, score in self.rank(emb, terms):
                 if score >= threshold:
                     parts.append(f"({term}:{score / 100:.3f})" if include_ranks else term)
         for name, terms in cats.items():
-            if name not in _CATEGORY_ORDER and terms:
+            if name not in _CATEGORY_ORDER and terms and name not in skip:
+                if dict_limit:
+                    terms = terms[:dict_limit]
                 for term, score in self.rank(emb, terms):
                     parts.append(f"({term}:{score / 100:.3f})" if include_ranks else term)
         return ", ".join(parts) if parts else "<no categories installed>"

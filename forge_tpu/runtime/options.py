@@ -5,7 +5,24 @@ The behavioral twin of the reference's three-tier config system
 (modules/options.py + shared_options.py ≈250 options + per-request
 override_settings, processing.py:820-847): a typed registry, JSON
 persistence, and a context manager for scoped overrides.
-"""
+
+
+Coverage policy: every reference option name is registered so clients that
+GET/POST /sdapi/v1/options or send override_settings keep working. A subset
+is CONSUMED by this pipeline (grep the key to find the site); the rest are
+SURFACE-PARITY options in three classes: (a) gradio-UI preferences with no
+analog in the single-file SPA (gallery_height, js_modal_lightbox, ...),
+(b) knobs for mechanisms that are always-on or architectural here —
+batch_cond_uncond/pad_cond_uncond/persistent_cond_cache (the compiled CFG
+always batches and chunk-equalizes; the cond cache persists),
+upcast_attn (flash attention always uses f32 softmax accumulators),
+randn_source (the Philox RNG is bit-exact to the reference's NV source) —
+and (c) CUDA-era memory toggles with TPU replacements documented in
+PERF.md. Feature options that would otherwise silently do nothing are
+either implemented (s_min_uncond, beta_dist_*, cross_attention_optimization,
+per-arch *_tile, interrogate_*, deepbooru_*, extra_networks_default_multiplier,
+upscaler_for_img2img, vae_always_tiled) or deliberately removed with a
+rationale (token merging, above)."""
 
 from __future__ import annotations
 
@@ -105,8 +122,9 @@ class Options:
 opts = Options()
 
 
-def _O(default, label, section="general", choices=None):
-    return OptionInfo(default, label, section, choices=choices)
+def _O(default, label, section="general", choices=None, onchange=None):
+    return OptionInfo(default, label, section, choices=choices,
+                      onchange=onchange)
 
 
 # Reference-parity option set (modules/shared_options.py:36-436 + Forge
@@ -233,8 +251,14 @@ _DEFAULTS = {
     "return_mask_composite": _O(False, "Return mask composite", "img2img"),
     "overlay_inpaint": _O(True, "Overlay original over inpaint result", "img2img"),
     # -- optimizations
-    "cross_attention_optimization": _O("Automatic", "Attention backend", "perf",
-                                       ["Automatic", "Flash (Pallas)", "XLA"]),
+    "cross_attention_optimization": _O(
+        "Automatic", "Attention backend", "perf",
+        ["Automatic", "Flash (Pallas)", "XLA"],
+        onchange=lambda: __import__(
+            "forge_tpu.ops.attention", fromlist=["set_attention_impl"]
+        ).set_attention_impl(
+            {"Automatic": None, "Flash (Pallas)": "flash", "XLA": "xla"}[
+                _cross_attn_value()])),
     "s_min_uncond": _O(0.0, "NGMS: skip uncond below sigma", "perf"),
     "s_min_uncond_all": _O(False, "NGMS on all steps", "perf"),
     # Token merging (reference backend/misc/tomesd.py) is deliberately NOT
@@ -387,3 +411,5 @@ _DEFAULTS = {
 for _k, _v in _DEFAULTS.items():
     opts.add(_k, _v)
 
+def _cross_attn_value() -> str:
+    return str(opts.get("cross_attention_optimization"))

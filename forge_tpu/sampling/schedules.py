@@ -143,7 +143,15 @@ def align_your_steps_32(n, sigma_min, sigma_max, predictor=None):
     return _ays(n, _AYS_32_SDXL if _is_xl_like(predictor) else _AYS_32_SD15)
 
 
-def beta_schedule(n, sigma_min, sigma_max, predictor=None, alpha: float = 0.6, beta: float = 0.6):
+def beta_schedule(n, sigma_min, sigma_max, predictor=None, alpha=None, beta=None):
+    if alpha is None or beta is None:
+        try:
+            from ..runtime.options import opts
+
+            alpha = float(opts.get("beta_dist_alpha")) if alpha is None else alpha
+            beta = float(opts.get("beta_dist_beta")) if beta is None else beta
+        except Exception:  # noqa: BLE001
+            alpha, beta = alpha or 0.6, beta or 0.6
     import scipy.stats
 
     timesteps = 1 - np.linspace(0, 1, n)

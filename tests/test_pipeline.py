@@ -226,3 +226,33 @@ def test_hires_latent_upscale_modes(engine):
         outs[mode] = r.images[0]
         assert r.images[0].shape == (64, 64, 3)
     assert not np.array_equal(outs["Latent"], outs["Latent (nearest)"])
+
+
+def test_img2img_resize_modes(engine):
+    """img2img resizes mismatched init images per resize_mode (reference
+    images.resize_image; requests used to shape-crash)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, 255, (48, 24, 3)).astype(np.uint8)
+    for mode in (0, 1, 2, 3):
+        p = Processing(prompt="cat", seed=1, steps=2, width=32, height=32,
+                       init_images=[init], denoising_strength=0.5,
+                       resize_mode=mode)
+        r = process_images(engine, p)
+        assert r.images[0].shape == (32, 32, 3), mode
+
+
+def test_resize_init_image_geometry():
+    import numpy as np
+
+    from forge_tpu.pipeline.images import resize_init_image
+
+    img = np.zeros((40, 20, 3), np.uint8)
+    img[:, :10] = 200  # left half bright
+    crop = resize_init_image(img, 32, 32, mode=1)
+    fill = resize_init_image(img, 32, 32, mode=2)
+    just = resize_init_image(img, 32, 32, mode=0)
+    assert crop.shape == fill.shape == just.shape == (32, 32, 3)
+    # fill mode keeps full source visible: the bright/dark split survives
+    assert fill[:, :8].mean() > fill[:, -8:].mean()

@@ -162,3 +162,27 @@ def test_never_oom_vae_always_tiled():
         assert p2._plan.tiled_vae
     finally:
         opts.set("vae_always_tiled", False, run_onchange=False)
+
+
+def test_ngms_skips_uncond_below_threshold():
+    """s_min_uncond (NGMS): the low-sigma tail runs without the uncond
+    pass — output changes vs plain CFG and infotext records the knob."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from fixtures import make_tiny_engine
+    from forge_tpu.pipeline.processing import Processing, process_images
+    from forge_tpu.runtime.options import opts
+
+    eng = make_tiny_engine()
+    base = process_images(eng, Processing(prompt="cat", seed=2, steps=6,
+                                          width=32, height=32, cfg_scale=7.0))
+    opts.set("s_min_uncond", 5.0, run_onchange=False)
+    try:
+        p = Processing(prompt="cat", seed=2, steps=6, width=32, height=32,
+                       cfg_scale=7.0)
+        ngms = process_images(eng, p)
+        assert p.extra_generation_params.get("NGMS") == 5.0
+        assert not np.array_equal(base.images[0], ngms.images[0])
+    finally:
+        opts.set("s_min_uncond", 0.0, run_onchange=False)
