@@ -327,3 +327,100 @@ def test_iclight_space_pipeline():
                    bg_source="Left Light", highres_scale=2.0,
                    highres_denoise=0.5)
     assert not np.array_equal(out, lit)
+
+
+def _tiny_sapiens_sd(width=32, depth=2, patch=16, grid=(64, 48), out_ch=3):
+    """Scaled-down Sapiens ViT + deconv head in the port's key layout."""
+    r = np.random.default_rng(0)
+    sd = {}
+
+    def lin(key, o, i):
+        sd[key + ".weight"] = (r.standard_normal((o, i)) * 0.05).astype(np.float32)
+        sd[key + ".bias"] = np.zeros(o, np.float32)
+
+    def norm(key, d):
+        sd[key + ".weight"] = np.ones(d, np.float32)
+        sd[key + ".bias"] = np.zeros(d, np.float32)
+
+    sd["patch_embed.proj.weight"] = (
+        r.standard_normal((width, 3, patch, patch)) * 0.05).astype(np.float32)
+    sd["patch_embed.proj.bias"] = np.zeros(width, np.float32)
+    sd["pos_embed"] = (r.standard_normal(
+        (1, grid[0] * grid[1], width)) * 0.02).astype(np.float32)
+    for i in range(depth):
+        norm(f"blocks.{i}.norm1", width)
+        lin(f"blocks.{i}.attn.qkv", 3 * width, width)
+        lin(f"blocks.{i}.attn.proj", width, width)
+        norm(f"blocks.{i}.norm2", width)
+        lin(f"blocks.{i}.mlp.fc1", 4 * width, width)
+        lin(f"blocks.{i}.mlp.fc2", width, 4 * width)
+    norm("norm", width)
+    for j, (o, i) in enumerate([(width, width), (width, width)]):
+        sd[f"head.deconv.{j}.weight"] = (
+            r.standard_normal((i, o, 4, 4)) * 0.05).astype(np.float32)
+        sd[f"head.deconv.{j}.bias"] = np.zeros(o, np.float32)
+    sd["head.conv.weight"] = (
+        r.standard_normal((out_ch, width, 3, 3)) * 0.05).astype(np.float32)
+    sd["head.conv.bias"] = np.zeros(out_ch, np.float32)
+    return sd
+
+
+def test_sapiens_apply_shapes():
+    """ViT dense predictor: patch grid -> 2 deconvs -> x4 upsampled output."""
+    import jax.numpy as jnp
+
+    from forge_tpu.core.state_dict import transform_for_jax
+    from forge_tpu.core.tree import nest
+    from forge_tpu.models.sapiens import sapiens_apply
+
+    grid = (4, 3)  # matches a 64x48 input at patch 16
+    params = nest({k: jnp.asarray(v) for k, v in transform_for_jax(
+        _tiny_sapiens_sd(grid=grid)).items()})
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 64, 48, 3)),
+                    jnp.float32)
+    out = np.asarray(sapiens_apply(params, x))
+    assert out.shape == (1, 16, 12, 3)
+    assert np.isfinite(out).all()
+
+
+def test_sapiens_space_end_to_end(tmp_path):
+    """Bundled sapiens space: launch, serve the page, produce a unit-norm
+    normal-map visualization from a synthetic checkpoint."""
+    import base64
+    import io
+    import json as _json
+    import urllib.request
+
+    from PIL import Image
+
+    from forge_tpu.core.save import save_safetensors
+
+    model_dir = tmp_path / "sapiens"
+    model_dir.mkdir()
+    save_safetensors(_tiny_sapiens_sd(), str(model_dir / "sapiens.safetensors"))
+
+    os.environ["SAPIENS_MODEL_DIR"] = str(model_dir)
+    try:
+        mgr = SpaceManager(["extensions-builtin"])
+        assert "forge_space_sapiens_normal" in mgr.spaces
+        url = mgr.launch("forge_space_sapiens_normal", timeout=180,
+                         env=_hermetic_env())
+        page = urllib.request.urlopen(url, timeout=10).read().decode()
+        assert "Normal Estimation" in page
+        img = Image.fromarray(np.full((48, 40, 3), 180, np.uint8))
+        buf = io.BytesIO(); img.save(buf, format="PNG")
+        req = urllib.request.Request(
+            url + "/process",
+            data=_json.dumps({"image": base64.b64encode(buf.getvalue()).decode(),
+                              "mask": False}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=600).read())
+        vis = np.asarray(Image.open(io.BytesIO(base64.b64decode(out["image"]))))
+        assert vis.shape == (48, 40, 3)
+        # visualization encodes unit vectors: (v/127.5-1) has norm ~1
+        vecs = vis.astype(np.float32) / 127.5 - 1.0
+        norms = np.linalg.norm(vecs, axis=-1)
+        assert np.abs(norms - 1.0).max() < 0.05
+        mgr.terminate_all()
+    finally:
+        os.environ.pop("SAPIENS_MODEL_DIR", None)
