@@ -115,6 +115,10 @@ class Processing:
     # builders that need the engine + encoded conds (SAG/PAG attach via API):
     # fn(engine, p, cond, uncond), called once per batch after cond encode
     deferred_hooks: Optional[List[Any]] = None
+    # fn(cond_dict) -> cond_dict applied to the POSITIVE cond only, after
+    # encode (PhotoMaker trigger-token splice, pipeline/photomaker.py); not
+    # applied to scheduled (PerStep) conds — transforms see plain arrays
+    cond_transform: Optional[Any] = None
     # extensions.soft_inpainting.SoftInpaintingSettings: σ-scheduled soft
     # latent blend replaces the hard inpaint composite when set
     soft_inpainting: Optional[Any] = None
@@ -655,6 +659,8 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             branches, weights, masks = _attach_regional_conds(
                 engine, p, cond, branches, weights, max_chunks)
         p._cond_branches, p._branch_weights, p._branch_masks = branches, weights, masks
+        if p.cond_transform is not None:
+            cond = p.cond_transform(cond)
         if engine.family in ("flux", "chroma"):
             g = jnp.full((p.batch_size,), p.distilled_cfg_scale, jnp.float32)
             cond = dict(cond, guidance=g)
