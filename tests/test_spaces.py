@@ -424,3 +424,69 @@ def test_sapiens_space_end_to_end(tmp_path):
         mgr.terminate_all()
     finally:
         os.environ.pop("SAPIENS_MODEL_DIR", None)
+
+
+def _tiny_geowizard_ckpt(tmp_path):
+    """unet(8ch in, 10-d class embed) + vae + clipvision in one safetensors."""
+    from forge_tpu.core.save import save_safetensors
+    from forge_tpu.core.synth import synth_unet_sd, synth_vae_sd
+
+    sd = {}
+    sd.update(synth_unet_sd(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+        transformer_depth=(0, 1), middle_depth=1, context_dim=64,
+        adm_in_channels=10, in_channels=8, fill="random", seed=21,
+        prefix="unet."))
+    sd.update(synth_vae_sd(ch=32, fill="random", seed=22, prefix="vae."))
+
+    r = np.random.default_rng(23)
+    W, PATCH = 64, 32
+
+    def lin(key, o, i, bias=True):
+        sd[key + ".weight"] = (r.standard_normal((o, i)) * 0.05).astype(np.float32)
+        if bias:
+            sd[key + ".bias"] = np.zeros(o, np.float32)
+
+    def norm(key, d):
+        sd[key + ".weight"] = np.ones(d, np.float32)
+        sd[key + ".bias"] = np.zeros(d, np.float32)
+
+    v = "image_encoder.vision_model."
+    sd[v + "embeddings.patch_embedding.weight"] = (
+        r.standard_normal((W, 3, PATCH, PATCH)) * 0.05).astype(np.float32)
+    sd[v + "embeddings.class_embedding"] = np.zeros(W, np.float32)
+    sd[v + "embeddings.position_embedding.weight"] = (
+        r.standard_normal(((224 // PATCH) ** 2 + 1, W)) * 0.02).astype(np.float32)
+    b = v + "encoder.layers.0."
+    norm(b + "layer_norm1", W)
+    for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        lin(b + "self_attn." + p, W, W)
+    norm(b + "layer_norm2", W)
+    lin(b + "mlp.fc1", W * 4, W)
+    lin(b + "mlp.fc2", W, W * 4)
+    norm(v + "post_layernorm", W)
+    lin("image_encoder.visual_projection", 64, W, bias=False)
+
+    path = str(tmp_path / "geowizard.safetensors")
+    save_safetensors(sd, path)
+    return path
+
+
+def test_geowizard_space_pipeline(tmp_path):
+    """Bundled geowizard space: DDIM scan over the 8-channel UNet produces
+    depth + unit normals; the domain switcher changes the result."""
+    app = _load_space_app("forge_space_geowizard", "geowizard_app")
+
+    pipe = app.GeoWizardPipeline.from_file(_tiny_geowizard_ckpt(tmp_path))
+    img = np.full((48, 40, 3), 120, np.uint8)
+    img[10:38, 8:32] = 220
+    depth, normal = pipe.run(img, domain="indoor", denoise_steps=2, seed=1,
+                             processing_res=64)
+    assert depth.shape == (48, 40) and depth.dtype == np.uint8
+    assert normal.shape == (48, 40, 3) and normal.dtype == np.uint8
+    vecs = normal.astype(np.float32) / 127.5 - 1.0
+    assert np.abs(np.linalg.norm(vecs, axis=-1) - 1.0).max() < 0.1
+
+    d2, n2 = pipe.run(img, domain="object", denoise_steps=2, seed=1,
+                      processing_res=64)
+    assert not (np.array_equal(depth, d2) and np.array_equal(normal, n2))
