@@ -490,3 +490,50 @@ def test_geowizard_space_pipeline(tmp_path):
     d2, n2 = pipe.run(img, domain="object", denoise_steps=2, seed=1,
                       processing_res=64)
     assert not (np.array_equal(depth, d2) and np.array_equal(normal, n2))
+
+
+def test_idm_vton_space_pipeline(tmp_path):
+    """Bundled idm-vton space: garment attn1 features ride into the tryon
+    UNet through the hook ABI; 13-channel inpaint input; mask composite."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from forge_tpu.core.save import save_safetensors
+    from forge_tpu.core.synth import synth_unet_sd
+
+    from test_sdxl import _tiny_sdxl_checkpoint
+
+    sd = _tiny_sdxl_checkpoint()
+    # swap in a 13-channel tryon UNet (same geometry otherwise)
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith("model.diffusion_model.")}
+    from test_sdxl import ADM, CTX
+    common = dict(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                  transformer_depth=(0, 1), middle_depth=1, context_dim=CTX,
+                  adm_in_channels=ADM, fill="random")
+    sd.update(synth_unet_sd(in_channels=13, seed=31, **common))
+    sd.update(synth_unet_sd(in_channels=4, seed=32,
+                            prefix="garment_model.diffusion_model.", **common))
+    path = str(tmp_path / "idm_vton.safetensors")
+    save_safetensors(sd, path)
+
+    app = _load_space_app("forge_space_idm_vton", "idm_vton_app")
+    pipe = app.IdmVtonPipeline.from_file(path)
+
+    person = np.full((64, 48, 3), 140, np.uint8)
+    person[8:56, 12:36] = 90
+    garment = np.full((64, 48, 3), 30, np.uint8)
+    garment[16:48, 8:40] = 250
+
+    out = pipe.run(person, garment, garment_desc="red shirt", steps=2,
+                   seed=4, width=32, height=32)
+    assert out.shape == person.shape and out.dtype == np.uint8
+    # region outside the try-on mask is the untouched person photo
+    assert np.array_equal(out[0:4], person[0:4])
+    # the masked region was regenerated
+    assert not np.array_equal(out, person)
+
+    # the garment actually conditions the output (zero-feature uncond differs)
+    out2 = pipe.run(person, np.zeros_like(garment), garment_desc="red shirt",
+                    steps=2, seed=4, width=32, height=32)
+    assert not np.array_equal(out, out2)
