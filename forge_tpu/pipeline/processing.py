@@ -1074,6 +1074,10 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                               unet_params=unet_params)
         refiner = _resolve_engine(p, p.refiner_checkpoint, "_refiner_engine")
         rcond, runcond = _encode_base_conds(refiner, p)
+        # reapply trigger-token transforms (PhotoMaker) only when the refiner
+        # shares the base context width (the SDXL refiner is CLIP-G-only)
+        if p.cond_transform is not None and refiner.family == engine.family:
+            rcond = p.cond_transform(rcond)
         latent = _run_sampler(refiner, p, latent, sigmas[k:],
                               step_noise[k:] if step_noise is not None else None,
                               rcond, runcond, skip_uncond=(p.cfg_scale == 1.0),
@@ -1146,6 +1150,12 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
                 p.negative_prompt = p.hr_negative_prompt
             try:
                 cond, uncond = _encode_base_conds(hr_engine, p)
+                # trigger-token transforms (PhotoMaker) were built against
+                # the base prompt/context; reapply only when the hires pass
+                # reuses the prompt on a same-family (same context width) model
+                if (p.cond_transform is not None and not p.hr_prompt
+                        and hr_engine.family == engine.family):
+                    cond = p.cond_transform(cond)
             finally:
                 p.prompt, p.negative_prompt = saved
         latent = _hires_pass(hr_engine, p, latent, seeds, subseeds, cond, uncond, unet_params)

@@ -149,3 +149,25 @@ def test_space_pipeline(engine, pm):
                    face_embeds=[list(np.zeros(512, np.float32))])
     assert out.shape == (32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_cond_transform_survives_hires_reencode(engine, pm):
+    """hires checkpoint-switch re-encodes conds; the trigger-token splice
+    must be reapplied on the same-family hires engine."""
+    from forge_tpu.pipeline.processing import Processing, process_images
+
+    face = np.full((64, 64, 3), 128, np.uint8)
+    prompt = "a photo of a person img"
+    transform = build_cond_transform(engine, pm, prompt, id_images=[face])
+    kw = dict(prompt=prompt, seed=11, steps=2, width=32, height=32,
+              enable_hr=True, hr_scale=2.0,
+              hr_upscaler="Latent (nearest-exact)",
+              do_not_save_samples=True, do_not_save_grid=True)
+    pa = Processing(cond_transform=transform, **kw)
+    pa._hr_engine = engine  # force the re-encode path (same family)
+    a = process_images(engine, pa).images[0]
+    pb = Processing(**kw)
+    pb._hr_engine = engine
+    b = process_images(engine, pb).images[0]
+    assert a.shape == b.shape == (64, 64, 3)
+    assert not np.array_equal(a, b)
