@@ -537,3 +537,22 @@ def test_idm_vton_space_pipeline(tmp_path):
     out2 = pipe.run(person, np.zeros_like(garment), garment_desc="red shirt",
                     steps=2, seed=4, width=32, height=32)
     assert not np.array_equal(out, out2)
+
+
+def test_example_space_end_to_end():
+    """The template space: launch, greet round-trip."""
+    import json as _json
+    import urllib.request
+
+    mgr = SpaceManager(["extensions-builtin"])
+    assert "forge_space_example" in mgr.spaces
+    url = mgr.launch("forge_space_example", timeout=60, env=_hermetic_env())
+    try:
+        req = urllib.request.Request(
+            url + "/process",
+            data=_json.dumps({"name": "tpu", "intensity": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out["greeting"] == "Hello, tpu!!!"
+    finally:
+        mgr.terminate_all()
