@@ -8,8 +8,13 @@
 4. Flux-dev-size NF4 and GGUF Q4_0 txt2img 1024² (s/step, fused dequant path)
 5. Batched serving + IP-Adapter + MultiDiffusion tiled 2× upscale
 
-Prints ONE JSON line; headline metric is SD1.5 p50 latency vs the 1 s target
-(vs_baseline > 1 means faster than target); configs 2-5 ride in `detail`.
+Prints a cumulative JSON line after EVERY config (the LAST line is the
+result — earlier lines are progressive supersets so an external timeout at
+any point still captures everything measured so far). Headline metric is
+SD1.5 p50 latency vs the 1 s target (vs_baseline > 1 means faster than
+target); configs 2-5 ride in `detail`, which also records configs_done /
+configs_skipped and total wall_s. A global budget (env BENCH_BUDGET_S,
+default 2100 s) skips configs that don't fit; SIGTERM/SIGINT dump partials.
 `python bench.py --serve` runs the queue-driven serving throughput bench.
 
 Each config runs in its own subprocess: a 16 GB chip cannot hold two resident
@@ -22,6 +27,8 @@ matching the reference's it/s convention."""
 from __future__ import annotations
 
 import json
+import os
+import signal
 import subprocess
 import sys
 import time
@@ -297,18 +304,41 @@ CONFIGS = {"1": config1, "2": config2, "2b": config2b, "3": config3,
            "4a": config4a, "4b": config4b, "5": config5, "serve": serve_bench}
 
 
-def _run_subprocess(name: str, timeout: int = 3600) -> dict:
+# The harness must survive ANY external budget (round 3 shipped zero numbers
+# because a driver timeout killed an all-or-nothing run): configs run in value
+# order, a JSON result line is printed+flushed after EVERY config (last line
+# wins), a global wall-clock budget skips what doesn't fit, and SIGTERM/SIGINT
+# dump the partial result before dying.
+
+_ACTIVE = {"proc": None}
+
+# per-config wall caps (compile + runs, measured r3 magnitudes + headroom)
+_CAPS = {"1": 900, "2": 900, "2b": 700, "3": 1200, "4a": 1500, "4b": 1500,
+         "5": 1200, "serve": 900}
+
+
+def _run_subprocess(name: str, timeout: float = 3600) -> dict:
     try:
-        out = subprocess.run([sys.executable, __file__, "--config", name],
-                             capture_output=True, text=True, timeout=timeout)
-        for line in out.stdout.splitlines():
+        proc = subprocess.Popen([sys.executable, __file__, "--config", name],
+                                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                                text=True)
+        _ACTIVE["proc"] = proc
+        try:
+            out, err = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return {f"config{name}_error": f"timeout after {timeout:.0f}s"}
+        finally:
+            _ACTIVE["proc"] = None
+        for line in out.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
         # surface the actual exception, not JAX's traceback-filtering notice
-        lines = out.stderr.strip().splitlines() or ["no output"]
-        err = [l for l in lines if "Error" in l or "Exception" in l
-               or "RESOURCE_EXHAUSTED" in l] or lines[-3:]
-        return {f"config{name}_error": " | ".join(err[-3:])[:400]}
+        lines = err.strip().splitlines() or ["no output"]
+        errs = [l for l in lines if "Error" in l or "Exception" in l
+                or "RESOURCE_EXHAUSTED" in l] or lines[-3:]
+        return {f"config{name}_error": " | ".join(errs[-3:])[:400]}
     except Exception as e:  # noqa: BLE001 — configs are best-effort
         return {f"config{name}_error": str(e)[:200]}
 
@@ -324,20 +354,42 @@ def main():
 
     # NOTE: no jax import here — initializing the backend in this parent
     # would hold the chip while the per-config subprocesses need it
-    detail = {}
-    for name in ("2b", "1", "2", "3", "4a", "4b", "5"):
-        detail.update(_run_subprocess(name))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+    t_start = time.time()
+    detail = {"configs_done": [], "configs_skipped": []}
 
-    p50 = detail.get("sd15_512_p50_s")
-    target = 1.0  # BASELINE.json: SD1.5 512² < 1 s p50 on v5e
-    result = {
-        "metric": "sd15_512_eulera_20step_p50_latency",
-        "value": p50,
-        "unit": "s",
-        "vs_baseline": round(target / p50, 3) if p50 else None,
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    def emit():
+        p50 = detail.get("sd15_512_p50_s")
+        target = 1.0  # BASELINE.json: SD1.5 512² < 1 s p50 on v5e
+        detail["wall_s"] = round(time.time() - t_start, 1)
+        print(json.dumps({
+            "metric": "sd15_512_eulera_20step_p50_latency",
+            "value": p50,
+            "unit": "s",
+            "vs_baseline": round(target / p50, 3) if p50 else None,
+            "detail": detail,
+        }), flush=True)
+
+    def _on_signal(signum, frame):  # dump partials, then die
+        proc = _ACTIVE["proc"]
+        if proc is not None:
+            proc.kill()
+        detail["terminated"] = f"signal {signum}"
+        emit()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    for name in ("1", "2", "2b", "3", "4a", "4b", "5", "serve"):
+        remaining = budget - (time.time() - t_start)
+        if remaining < 120:  # not enough left to learn anything
+            detail["configs_skipped"].append(name)
+            continue
+        detail.update(_run_subprocess(name, timeout=min(_CAPS[name], remaining)))
+        detail["configs_done"].append(name)
+        emit()
+    emit()
     return 0
 
 

@@ -136,13 +136,22 @@ def quantize_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> Dict[str, Any]:
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, np.float32)])
     blocks = flat.reshape(-1, block)
+    mids = (NF4_CODE[:-1] + NF4_CODE[1:]) * 0.5
+    if not flat.any():
+        # All-zero weights (synthetic benchmark checkpoints): the generic
+        # path streams ~4 bytes/param through the host core; emit the
+        # (deterministic) result directly. absmax=0 → normed=0 → one code.
+        z = np.uint8(np.searchsorted(mids, np.float32(0.0), side="left"))
+        packed = np.full((len(blocks), block // 2), (z << 4) | z, np.uint8)
+        return {"kind": "nf4", "codes": packed.reshape(-1),
+                "scales": np.zeros(len(blocks), np.float32),
+                "shape": tuple(shape)}
     absmax = np.abs(blocks).max(axis=1)
     absmax_safe = np.where(absmax == 0, 1.0, absmax)
     normed = blocks / absmax_safe[:, None]
     # nearest code via searchsorted over midpoints (table is sorted): same
     # result as argmin over |normed - code| with 16x less memory traffic —
     # matters when quantizing a 12B-param Flux on the 1-core host
-    mids = (NF4_CODE[:-1] + NF4_CODE[1:]) * 0.5
     idx = np.searchsorted(mids, normed, side="left").astype(np.uint8)
     packed = (idx[:, 0::2] << 4) | idx[:, 1::2]
     return {
@@ -175,6 +184,10 @@ def quantize_q8_0(w: np.ndarray) -> Dict[str, Any]:
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, np.float32)])
     blocks = flat.reshape(-1, GGUF_BLOCK)
+    if not flat.any():  # see quantize_nf4: deterministic all-zero shortcut
+        return {"kind": "q8_0", "codes": np.zeros(blocks.size, np.int8),
+                "scales": np.zeros(len(blocks), np.float16),
+                "shape": tuple(shape)}
     scale = np.abs(blocks).max(axis=1) / 127.0
     scale_safe = np.where(scale == 0, 1.0, scale)
     q = np.clip(np.round(blocks / scale_safe[:, None]), -128, 127).astype(np.int8)
@@ -196,6 +209,11 @@ def quantize_q4_0(w: np.ndarray) -> Dict[str, Any]:
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, np.float32)])
     blocks = flat.reshape(-1, GGUF_BLOCK)
+    if not flat.any():  # scale=0 → q=clip(8.5)=8 → packed byte 0x88
+        return {"kind": "q4_0",
+                "codes": np.full(blocks.size // 2, 0x88, np.uint8),
+                "scales": np.zeros(len(blocks), np.float16),
+                "shape": tuple(shape)}
     amax_idx = np.abs(blocks).argmax(axis=1)
     amax = blocks[np.arange(len(blocks)), amax_idx]  # signed max (gguf convention)
     scale = amax / -8.0
