@@ -204,6 +204,21 @@ def build_unit_state(unit: Mapping[str, Any], width: int, height: int):
         return None
     img = _decode_image(image)
     module = unit.get("module", "none") or "none"
+    if module.startswith("reference"):
+        # weightless style guidance: no control model, no hint map — the unit
+        # image is VAE-encoded per generation (needs the engine → deferred;
+        # reference do_not_need_model units, forge_reference.py:44)
+        def build_ref(engine, p, cond, uncond, _img=img, _m=module, _u=dict(unit)):
+            from ..pipeline.reference_only import attach_reference
+
+            attach_reference(
+                engine, p, _img, _m,
+                style_fidelity=float(_u.get("threshold_a", 0.5) or 0.5),
+                weight=float(_u.get("weight", 1.0)),
+                start=float(_u.get("guidance_start", 0.0)),
+                end=float(_u.get("guidance_end", 1.0)))
+
+        return build_ref
     res = int(unit.get("processor_res", 0) or 0) or min(img.shape[:2])
     fmap = get_preprocessor(module)(
         img, res, unit.get("threshold_a", 0) or 0, unit.get("threshold_b", 0) or 0)

@@ -274,6 +274,10 @@ def unet_apply(
             elif "conv" in sub:  # upsample
                 h = nn.upsample_nearest_2x(h)
                 h = nn.conv2d(h, sub["conv"], padding=1)
+        # 'after'-flagged block modifiers (reference unet block_modifiers with
+        # flag 'after'; used by reference-adain, forge_reference.py:95-133)
+        for fn in hooks.get("output_block_patch_after", ()):
+            h = fn(h, ("output", i))
 
     h = nn.group_norm(h, params["out"]["0"], act="silu")
     h = nn.conv2d(h, params["out"]["2"], padding=1)

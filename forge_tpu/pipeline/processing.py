@@ -122,6 +122,9 @@ class Processing:
     # extensions.soft_inpainting.SoftInpaintingSettings: σ-scheduled soft
     # latent blend replaces the hard inpaint composite when set
     soft_inpainting: Optional[Any] = None
+    # pipeline.reference_only.ReferenceState: weightless style guidance via a
+    # per-step recording pass (reference forge_preprocessor_reference)
+    reference_state: Optional[Any] = None
     # sigma-windowed hook phases: [(end_fraction, extra_hooks), ...] — the
     # compiled loop is split at phase boundaries (the scan-world analog of the
     # reference's per-call sigma gating in timestep-ranged patches)
@@ -350,30 +353,44 @@ def _progress_tick(x0):
 def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
                      masked: bool, sigmas_np: np.ndarray, progress: bool = False):
     info = get_sampler(p.sampler_name)
-    apply_raw = engine.unet_apply_fn(hooks=p.unet_hooks, controlnets=p.controlnets)
-    if getattr(engine, "_offload_active", False):
-        # weights stream host→HBM inside each denoise call (runtime/offload.py);
-        # fetching here (inside the scan body) keeps them from being hoisted
-        # into loop-invariant HBM residents.
-        from ..runtime.offload import fetch_to_device
 
-        _raw = apply_raw
+    def build_apply(hooks):
+        raw = engine.unet_apply_fn(hooks=hooks, controlnets=p.controlnets)
+        if getattr(engine, "_offload_active", False):
+            # weights stream host→HBM inside each denoise call
+            # (runtime/offload.py); fetching here (inside the scan body) keeps
+            # them from being hoisted into loop-invariant HBM residents.
+            from ..runtime.offload import fetch_to_device
 
-        def apply_raw(params, *a, **kw):  # noqa: F811 — offload-wrapped
-            return _raw(fetch_to_device(params), *a, **kw)
+            _raw = raw
 
+            def raw(params, *a, **kw):  # noqa: F811 — offload-wrapped
+                return _raw(fetch_to_device(params), *a, **kw)
+
+        return raw
+
+    apply_raw = build_apply(p.unet_hooks)
     predictor = engine.predictor
 
     branch_weights = getattr(p, "_branch_weights", None)
     branch_masks = getattr(p, "_branch_masks", None)
 
-    def fn(unet_params, x, noise, cond, uncond, branches, cfg_scale, mask, init_latent):
+    def fn(unet_params, x, noise, cond, uncond, branches, cfg_scale, mask,
+           init_latent, ref_in):
         # σ values are compile-time constants (host numpy): samplers fold them
         # and LMS/ipndm/deis derive host-side integration coefficients.
         sigmas = sigmas_np
         apply_model = cfg_mod.make_apply_model(
             apply_raw, unet_params, predictor, engine.compute_dtype
         )
+        if p.reference_state is not None:
+            from .reference_only import wrap_reference
+
+            apply_model = wrap_reference(
+                apply_model, build_apply,
+                lambda raw: cfg_mod.make_apply_model(
+                    raw, unet_params, predictor, engine.compute_dtype),
+                p, p.reference_state, sigmas_np, skip_uncond, ref_in)
         if p.tiled_diffusion:
             from ..sampling.tiled import make_tiled_apply
 
@@ -957,6 +974,7 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
         manifest_digest(p.soft_inpainting) if p.soft_inpainting else None,
         manifest_digest(p._cb_pre_hooks) if p._cb_pre_hooks else None,
         manifest_digest(p._cb_post_hooks) if p._cb_post_hooks else None,
+        p.reference_state.digest if p.reference_state is not None else None,
     )
     if p.tiled_diffusion:
         # infotext record lives OUTSIDE the traced fn: a jit-cache hit
@@ -994,10 +1012,18 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
     zero = jnp.zeros((), jnp.float32)
     mask_in = zero if mask is None else mask
     init_in = zero if init_latent is None else init_latent
+    ref_in = zero
+    if p.reference_state is not None:
+        from .reference_only import reference_step_noise
+
+        ref_in = (jnp.asarray(p.reference_state.latent, jnp.float32),
+                  jnp.asarray(reference_step_noise(
+                      p.reference_state, len(sigmas) - 1)))
     branches = getattr(p, "_cond_branches", None) or []
     return fn(
         engine.loaded.unet if unet_params is None else unet_params, x, noise,
-        cond, uncond, branches, jnp.asarray(p.cfg_scale, jnp.float32), mask_in, init_in,
+        cond, uncond, branches, jnp.asarray(p.cfg_scale, jnp.float32), mask_in,
+        init_in, ref_in,
     )
 
 

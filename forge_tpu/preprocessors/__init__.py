@@ -208,6 +208,14 @@ register(Preprocessor(
     slider_a=("Binary Threshold", 0, 255, 0), tags=("Scribble",)),
     aliases=("binary",))
 
+# reference guidance (no control model; consumed by extensions/controlnet.py
+# build_unit_state → pipeline/reference_only.py; call is identity — the unit
+# image is used as-is, reference forge_reference.py slider_resolution hidden)
+for _ref_name in ("reference_only", "reference_adain", "reference_adain+attn"):
+    register(Preprocessor(
+        _ref_name, _none,
+        slider_a=("Style Fidelity", 0.0, 1.0, 0.5), tags=("Reference",)))
+
 # model-based annotators self-register on import (kept lazy: weights optional)
 try:  # noqa: SIM105
     from . import depth  # noqa: F401
