@@ -49,6 +49,16 @@ def list_controlnet_models() -> List[str]:
     return out
 
 
+def _find_clip_vision() -> Optional[str]:
+    """First checkpoint under models/clip_vision (Revision's bigG encoder)."""
+    for d in ("models/clip_vision", "models/ClipVision"):
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith((".safetensors", ".ckpt", ".pt", ".pth", ".bin")):
+                    return os.path.join(d, f)
+    return None
+
+
 def _find_model(name: str) -> Optional[str]:
     if os.path.isfile(name):
         return name
@@ -195,6 +205,17 @@ def _decode_image(image) -> np.ndarray:
     return arr[..., :3]
 
 
+def _decode_unit_mask(unit: Mapping[str, Any], image) -> Optional[np.ndarray]:
+    """unit['mask'] / image dict {'mask': ...} → float [H,W] in [0,1]."""
+    m = unit.get("mask") or unit.get("mask_image")
+    if m is None and isinstance(image, dict):
+        m = image.get("mask")
+    if m is None:
+        return None
+    arr = _decode_image(m)
+    return np.asarray(arr[..., 0], np.float32) / 255.0
+
+
 def build_unit_state(unit: Mapping[str, Any], width: int, height: int):
     """One API unit dict → ControlNetState/T2IAdapterState (or None)."""
     if not unit.get("enabled", True):
@@ -219,15 +240,71 @@ def build_unit_state(unit: Mapping[str, Any], width: int, height: int):
                 end=float(_u.get("guidance_end", 1.0)))
 
         return build_ref
-    res = int(unit.get("processor_res", 0) or 0) or min(img.shape[:2])
-    fmap = get_preprocessor(module)(
-        img, res, unit.get("threshold_a", 0) or 0, unit.get("threshold_b", 0) or 0)
-    fmap = np.clip(bilinear_resize(fmap, height, width), 0.0, 1.0)
-    hint = jnp.asarray(fmap[None], jnp.float32)
+    if "revision" in module.lower():
+        # Revision: CLIP-vision bigG image embed replaces the SDXL pooled
+        # conditioning — no control model (reference preprocessor_revision.py,
+        # do_not_need_model=True). Weights via unit clip_vision_path or the
+        # models/clip_vision dir.
+        cv_path = unit.get("clip_vision_path") or _find_clip_vision()
+        if cv_path is None:
+            raise FileNotFoundError(
+                "Revision needs CLIP-ViT-bigG weights: pass clip_vision_path "
+                "or place a checkpoint under models/clip_vision")
+        ignore = "ignore" in module.lower()
+
+        def build_rev(engine, p, cond, uncond, _img=img, _u=dict(unit),
+                      _cv=cv_path, _ig=ignore):
+            from ..pipeline.ipadapter import load_ip_adapter
+            from ..pipeline.revision import apply_revision, encode_revision_embed
+
+            emb = encode_revision_embed(load_ip_adapter(_cv), _img,
+                                        float(_u.get("weight", 1.0)))
+            apply_revision(p, cond, uncond, emb, _ig)
+
+        return build_rev
+    if module.lower().startswith("inpaint"):
+        # masked pixels become −1 in the hint; inpaint_only additionally arms
+        # the latent + final composites (pipeline/cn_inpaint.py — reference
+        # preprocessor_inpaint.py)
+        from ..pipeline.cn_inpaint import mix_hint
+
+        mask_arr = _decode_unit_mask(unit, image)
+        if mask_arr is None:
+            mask_arr = np.zeros(img.shape[:2], np.float32)
+        low = module.lower()
+        src_img = img
+        if low.endswith("lama"):
+            from ..preprocessors.lama import lama_prefill
+
+            src_img = lama_prefill(img, mask_arr)
+        img_r = bilinear_resize(np.asarray(src_img, np.float32) / 255.0,
+                                height, width)
+        mask_r = np.clip(bilinear_resize(
+            np.repeat(mask_arr[..., None], 3, 2), height, width)[..., 0], 0, 1)
+        fmap = mix_hint(img_r, mask_r)  # digest input; hint range [−1,1]
+        hint = jnp.asarray(fmap[None], jnp.float32)
+        res = 0
+        extra = []
+        if low in ("inpaint_only", "inpaint_only+lama"):
+            def build_inp(engine, p, cond, uncond, _img=src_img, _m=mask_arr,
+                          _lama=low.endswith("lama")):
+                from ..pipeline.cn_inpaint import attach_inpaint_only
+
+                attach_inpaint_only(engine, p, _img, _m, lama_shift=_lama)
+
+            extra.append(build_inp)
+    else:
+        res = int(unit.get("processor_res", 0) or 0) or min(img.shape[:2])
+        fmap = get_preprocessor(module)(
+            img, res, unit.get("threshold_a", 0) or 0, unit.get("threshold_b", 0) or 0)
+        fmap = np.clip(bilinear_resize(fmap, height, width), 0.0, 1.0)
+        hint = jnp.asarray(fmap[None], jnp.float32)
+        extra = []
 
     model_name = unit.get("model") or unit.get("model_path")
     if not model_name or str(model_name).lower() in ("none", "null"):
-        return None
+        # inpaint_only without a control model still applies its composites
+        return extra or None
     path = _find_model(str(model_name))
     if path is None:
         raise FileNotFoundError(f"controlnet model {model_name!r} not found in {_MODEL_DIRS}")
@@ -257,13 +334,17 @@ def build_unit_state(unit: Mapping[str, Any], width: int, height: int):
 
         return build
     if kind == "t2i_adapter":
-        return T2IAdapterState(params=params, cfg=cfg, **common)
-    return ControlNetState(params=params, cfg=cfg, **common)
+        st = T2IAdapterState(params=params, cfg=cfg, **common)
+    else:
+        st = ControlNetState(params=params, cfg=cfg, **common)
+    return [st] + extra if extra else st
 
 
 def attach_units(p, units) -> int:
     """Build states for every enabled unit and append to p.controlnets
-    (ControlLora units attach via deferred builders — they need the engine)."""
+    (ControlLora/reference/revision/inpaint units attach via deferred
+    builders — they need the engine; a unit may yield both, e.g.
+    inpaint_only = model state + composite builder)."""
     states = []
     n = 0
     for unit in units or ():
@@ -271,10 +352,11 @@ def attach_units(p, units) -> int:
         if st is None:
             continue
         n += 1
-        if callable(st):
-            p.deferred_hooks = list(p.deferred_hooks or []) + [st]
-        else:
-            states.append(st)
+        for item in (st if isinstance(st, list) else [st]):
+            if callable(item):
+                p.deferred_hooks = list(p.deferred_hooks or []) + [item]
+            else:
+                states.append(item)
     if states:
         p.controlnets = list(p.controlnets or []) + states
     return n

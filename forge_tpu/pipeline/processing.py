@@ -732,6 +732,10 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
 
                 src = p.init_images[min(b, len(p.init_images) - 1)]
                 img = apply_color_correction(setup_color_correction(src), img)
+            if getattr(p, "_cn_inpaint", None) is not None:
+                from .cn_inpaint import composite_final
+
+                img = composite_final(p, img)
             if is_img2img and p.inpaint_mask is not None:
                 img = _composite_inpaint(p, img, p.init_images[min(b, len(p.init_images) - 1)])
                 if runner is not None:
@@ -938,6 +942,12 @@ def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array,
 def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
                  mask=None, init_latent=None, kind="txt2img", unet_params=None):
     shape = tuple(x.shape)
+    if mask is None and getattr(p, "_cn_inpaint", None) is not None:
+        # ControlNet inpaint_only latent composite (pipeline/cn_inpaint.py);
+        # shape guard skips the hires/refiner pass at another resolution
+        st = p._cn_inpaint
+        if tuple(st["latent"].shape[1:3]) == shape[1:3]:
+            mask, init_latent = st["latent_mask"], st["latent"]
     from ..runtime.options import opts as _opts
 
     try:
@@ -1082,6 +1092,12 @@ def _sample_txt2img(engine: DiffusionEngine, p: Processing, seeds, subseeds, con
             np.float32(sigmas[0]), noise0.astype(np.float32), np.zeros_like(noise0), max_denoise=False
         )
     )
+    cn_inp = getattr(p, "_cn_inpaint", None)
+    if (cn_inp is not None and cn_inp.get("lama_shift")
+            and tuple(cn_inp["latent"].shape[1:3]) == tuple(x.shape[1:3])):
+        # inpaint_only+lama biases the start noise toward the LaMa prefill:
+        # (noise + z/σmax)·σmax = x + z (reference preprocessor_inpaint.py:160)
+        x = x + jnp.asarray(cn_inp["latent"], x.dtype)
     _PHASE["noise"] = time.time() - t_noise
 
     t1 = time.time()

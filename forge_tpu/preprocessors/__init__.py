@@ -216,6 +216,23 @@ for _ref_name in ("reference_only", "reference_adain", "reference_adain+attn"):
         _ref_name, _none,
         slider_a=("Style Fidelity", 0.0, 1.0, 0.5), tags=("Reference",)))
 
+# Revision (SDXL pooled-cond substitution; consumed in extensions/controlnet.py
+# — reference preprocessor_revision.py; the noise-aug slider is hidden there
+# because SDXL has no noise augmentor, so it is omitted here entirely)
+register(Preprocessor("CLIP-G (Revision)", _none, tags=("Revision",)),
+         aliases=("revision_clipvision",))
+register(Preprocessor("CLIP-G (Revision ignore prompt)", _none, tags=("Revision",)),
+         aliases=("revision_ignore_prompt",))
+
+# Inpaint preprocessors (hint mixing + latent composite happen in
+# extensions/controlnet.py + pipeline/processing.py; the registry entries
+# carry UI metadata — reference preprocessor_inpaint.py)
+register(Preprocessor("inpaint_global_harmonious", _none, tags=("Inpaint",)),
+         aliases=("inpaint",))
+register(Preprocessor("inpaint_only", _none, tags=("Inpaint",)))
+register(Preprocessor("inpaint_only+lama", _none, tags=("Inpaint",),
+                      needs_weights=True))
+
 # model-based annotators self-register on import (kept lazy: weights optional)
 try:  # noqa: SIM105
     from . import depth  # noqa: F401
