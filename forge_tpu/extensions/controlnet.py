@@ -207,7 +207,9 @@ def _decode_image(image) -> np.ndarray:
 
 def _decode_unit_mask(unit: Mapping[str, Any], image) -> Optional[np.ndarray]:
     """unit['mask'] / image dict {'mask': ...} → float [H,W] in [0,1]."""
-    m = unit.get("mask") or unit.get("mask_image")
+    m = unit.get("mask")
+    if m is None:
+        m = unit.get("mask_image")
     if m is None and isinstance(image, dict):
         m = image.get("mask")
     if m is None:

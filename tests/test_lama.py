@@ -135,5 +135,7 @@ def test_inpaint_unit_without_model_runs_composites():
     assert p.deferred_hooks
     img = process_images(eng, p).images[0]
     assert img.shape == (32, 32, 3)
-    # far corner is composited back to the source
-    assert np.abs(img[:4, :4].astype(int) - src[:4, :4].astype(int)).max() <= 2
+    # beyond the dilate(7)+blur(7) feather the source passes through exactly;
+    # inside the mask the image is regenerated
+    assert np.abs(img[:2, :2].astype(int) - src[:2, :2].astype(int)).max() <= 1
+    assert not np.array_equal(img[10:22, 10:22], src[10:22, 10:22])
