@@ -40,10 +40,14 @@ class ServingPipeline:
         self._prep_q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._denoise_q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._finish_q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._closed = False
         self._threads = [
-            threading.Thread(target=self._prep_loop, daemon=True),
-            threading.Thread(target=self._denoise_loop, daemon=True),
-            threading.Thread(target=self._finish_loop, daemon=True),
+            threading.Thread(target=self._prep_loop, daemon=True,
+                             name="serve-prep"),
+            threading.Thread(target=self._denoise_loop, daemon=True,
+                             name="serve-denoise"),
+            threading.Thread(target=self._finish_loop, daemon=True,
+                             name="serve-finish"),
         ]
         for t in self._threads:
             t.start()
@@ -51,17 +55,35 @@ class ServingPipeline:
     # -- public api ----------------------------------------------------------
 
     def submit(self, p) -> Future:
+        if self._closed:
+            raise RuntimeError("ServingPipeline is closed")
         fut: Future = Future()
         self._prep_q.put((p, fut))
         return fut
 
+    def close(self, wait: bool = True, timeout: float = 300.0):
+        """Graceful shutdown: stop accepting work, let the poison pill drain
+        every queued request through all three stages, join the workers.
+        Requests submitted before close() still complete (or carry their
+        exception); submit() afterwards raises."""
+        if self._closed:
+            return
+        self._closed = True
+        self._prep_q.put(None)
+        if wait:
+            deadline = time.time() + timeout
+            for t in self._threads:
+                t.join(max(deadline - time.time(), 0.1))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def map(self, ps: List) -> List:
         futs = [self.submit(p) for p in ps]
         return [f.result() for f in futs]
-
-    def close(self):
-        for q in (self._prep_q,):
-            q.put(None)
 
     # -- stages --------------------------------------------------------------
 

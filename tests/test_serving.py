@@ -34,3 +34,28 @@ def test_serving_pipelines_multiple_requests():
     # same-seed replay through the pipeline is deterministic
     res2 = serve_throughput(eng, [_p(1)])
     assert np.array_equal(imgs[0], res2["outputs"][0]["images"][0])
+
+
+def test_pipeline_close_joins_and_rejects():
+    """close() drains queued work, joins the workers, and later submits
+    raise; a failing request doesn't wedge subsequent ones (VERDICT r3
+    weak #6)."""
+    import pytest
+
+    pipe = ServingPipeline(make_tiny_engine(), depth=2)
+    good = pipe.submit(Processing(prompt="ok", seed=1, steps=2, width=32,
+                                  height=32, sampler_name="Euler"))
+    bad = pipe.submit(Processing(prompt="boom", seed=2, steps=2, width=32,
+                                 height=32, sampler_name="no_such_sampler"))
+    good2 = pipe.submit(Processing(prompt="ok2", seed=3, steps=2, width=32,
+                                   height=32, sampler_name="Euler"))
+    assert good.result(timeout=300)["images"][0].shape == (32, 32, 3)
+    with pytest.raises(Exception):  # noqa: B017 — any failure type
+        bad.result(timeout=300)
+    assert good2.result(timeout=300)["images"][0].shape == (32, 32, 3)
+    pipe.close()
+    for t in pipe._threads:
+        assert not t.is_alive()
+    with pytest.raises(RuntimeError):
+        pipe.submit(Processing(prompt="late", seed=4, steps=1, width=32,
+                               height=32, sampler_name="Euler"))
