@@ -16,13 +16,10 @@ Run: python forge_app.py --host 127.0.0.1 --port 7872 \
        [--ckpt models/checkpoints/<animagine-xl>.safetensors]
 """
 
-import argparse
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -172,59 +169,30 @@ async function go(){
     "%ASPECTS%", "".join(f"<option>{k}</option>" for k in ASPECT_RATIOS))
 
 
-def make_handler(pipe):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, pipe):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
-
-        def do_POST(self):
-            from PIL import Image
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                out = pipe.run(
-                    body.get("prompt", ""), body.get("negative", ""),
-                    seed=int(body.get("seed", -1)),
-                    quality=body.get("quality", "Standard v3.1"),
-                    style=body.get("style", "(None)"),
-                    aspect=body.get("aspect", "896 x 1152"),
-                    use_upscaler=bool(body.get("use_upscaler")))
-                buf = io.BytesIO()
-                Image.fromarray(out).save(buf, format="PNG")
-                self._send(200, json.dumps(
-                    {"image": base64.b64encode(buf.getvalue()).decode()}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    out = pipe.run(
+        body.get("prompt", ""), body.get("negative", ""),
+        seed=int(body.get("seed", -1)),
+        quality=body.get("quality", "Standard v3.1"),
+        style=body.get("style", "(None)"),
+        aspect=body.get("aspect", "896 x 1152"),
+        use_upscaler=bool(body.get("use_upscaler")))
+    buf = io.BytesIO()
+    Image.fromarray(out).save(buf, format="PNG")
+    return {"image": base64.b64encode(buf.getvalue()).decode()}
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7872)
-    root = os.path.join(os.path.dirname(__file__), "..", "..")
-    ap.add_argument("--ckpt", default=os.environ.get(
-        "ANIMAGINE_CKPT", os.path.join(root, "models", "checkpoints",
-                                       "animagine-xl-3.1.safetensors")))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    pipe = AnimaginePipeline.from_file(args.ckpt)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(pipe))
-    print(f"animagine space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    run_space("animagine space", PAGE, process, default_port=7872, args=[
+        ("--ckpt", {"default": os.environ.get(
+            "ANIMAGINE_CKPT", os.path.join(root, "models", "checkpoints",
+                                           "animagine-xl-3.1.safetensors"))}),
+    ], setup=lambda a: AnimaginePipeline.from_file(a.ckpt))
 
 
 if __name__ == "__main__":

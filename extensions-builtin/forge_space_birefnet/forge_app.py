@@ -6,13 +6,12 @@ forge_tpu.models.u2net (see its docstring for the BiRefNet substitution note).
 Run: python forge_app.py --host 127.0.0.1 --port 7870 [--model-dir DIR]
 """
 
-import argparse
+
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -43,62 +42,37 @@ async function go(){
 </script></body></html>"""
 
 
-def make_handler(matter):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, matter):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+    raw = base64.b64decode(body["image"])
+    img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+    flat = None
+    if body.get("flat"):
+        hexc = (body.get("bg") or "#ffffff").lstrip("#")
+        flat = tuple(int(hexc[i:i + 2], 16) for i in (0, 2, 4))
+    size = int(body.get("size") or 320)
+    out = matter.cutout(img, flat_bg=flat, size=size)
+    buf = io.BytesIO()
+    mode = "RGBA" if out.shape[-1] == 4 else "RGB"
+    Image.fromarray(out, mode).save(buf, format="PNG")
+    return {"image": base64.b64encode(buf.getvalue()).decode()}
 
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
 
-        def do_POST(self):
-            from PIL import Image
+def _setup(args):
+    from forge_tpu.models.u2net import U2NetMatter
 
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                raw = base64.b64decode(body["image"])
-                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-                flat = None
-                if body.get("flat"):
-                    hexc = (body.get("bg") or "#ffffff").lstrip("#")
-                    flat = tuple(int(hexc[i:i + 2], 16) for i in (0, 2, 4))
-                size = int(body.get("size") or 320)
-                out = matter.cutout(img, flat_bg=flat, size=size)
-                buf = io.BytesIO()
-                mode = "RGBA" if out.shape[-1] == 4 else "RGB"
-                Image.fromarray(out, mode).save(buf, format="PNG")
-                self._send(200, json.dumps(
-                    {"image": base64.b64encode(buf.getvalue()).decode()}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    return U2NetMatter(model_dir=args.model_dir)
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7870)
-    ap.add_argument("--model-dir", default=os.environ.get(
-        "U2NET_MODEL_DIR", os.path.join(os.path.dirname(__file__), "..", "..",
-                                        "models", "u2net")))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    from forge_tpu.models.u2net import U2NetMatter
-
-    matter = U2NetMatter(model_dir=args.model_dir)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(matter))
-    print(f"birefnet space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    run_space("birefnet space", PAGE, process, default_port=7870, args=[
+        ("--model-dir", {"default": os.environ.get(
+            "U2NET_MODEL_DIR", os.path.join(os.path.dirname(__file__), "..",
+                                            "..", "models", "u2net"))}),
+    ], setup=_setup)
 
 
 if __name__ == "__main__":

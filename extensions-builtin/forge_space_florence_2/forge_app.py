@@ -5,13 +5,10 @@ space_meta.json for the Florence-2 substitution note.
 Run: python forge_app.py --host 127.0.0.1 --port 7871
 """
 
-import argparse
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -39,63 +36,40 @@ async function go(){
 </script></body></html>"""
 
 
-def make_handler(state):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, state):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
-
-        def do_POST(self):
-            from PIL import Image
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                img = np.asarray(Image.open(io.BytesIO(
-                    base64.b64decode(body["image"]))).convert("RGB"))
-                out = {}
-                if state["blip"].available:
-                    out["caption"] = state["blip"].caption(img)
-                if body.get("tags") and state["booru"].available:
-                    out["tags"] = state["booru"].tag(img)
-                if not out:
-                    out["error"] = ("no captioner checkpoints found — put BLIP "
-                                    "under models/BLIP or deepbooru under "
-                                    "models/torch_deepdanbooru")
-                self._send(200, json.dumps(out))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    img = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(body["image"]))).convert("RGB"))
+    out = {}
+    if state["blip"].available:
+        out["caption"] = state["blip"].caption(img)
+    if body.get("tags") and state["booru"].available:
+        out["tags"] = state["booru"].tag(img)
+    if not out:
+        out["error"] = ("no captioner checkpoints found — put BLIP "
+                        "under models/BLIP or deepbooru under "
+                        "models/torch_deepdanbooru")
+    return out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7871)
-    ap.add_argument("--model-root", default=os.environ.get(
-        "CAPTION_MODEL_ROOT",
-        os.path.join(os.path.dirname(__file__), "..", "..", "models")))
-    args = ap.parse_args()
-
+def _setup(args):
     from forge_tpu.models.blip import BlipCaptioner
     from forge_tpu.postprocessing.deepbooru import DeepDanbooru
 
-    state = {"blip": BlipCaptioner(os.path.join(args.model_root, "BLIP")),
-             "booru": DeepDanbooru(os.path.join(args.model_root, "torch_deepdanbooru"))}
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(state))
-    print(f"caption space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    return {"blip": BlipCaptioner(os.path.join(args.model_root, "BLIP")),
+            "booru": DeepDanbooru(os.path.join(args.model_root,
+                                               "torch_deepdanbooru"))}
+
+
+def main():
+    from forge_tpu.runtime.space_harness import run_space
+
+    run_space("caption space", PAGE, process, default_port=7871, args=[
+        ("--model-root", {"default": os.environ.get(
+            "CAPTION_MODEL_ROOT",
+            os.path.join(os.path.dirname(__file__), "..", "..", "models"))}),
+    ], setup=_setup)
 
 
 if __name__ == "__main__":

@@ -14,13 +14,10 @@ checkpoint is a single safetensors with `unet.` (ldm or diffusers key space),
 Run: python forge_app.py --host H --port P [--ckpt FILE]
 """
 
-import argparse
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -191,63 +188,34 @@ async function go(){
 </script></body></html>"""
 
 
-def make_handler(pipe):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, pipe):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+    img = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(body["image"]))).convert("RGB"))
+    depth, normal = pipe.run(
+        img, domain=body.get("domain", "indoor"),
+        denoise_steps=int(body.get("steps", 10)),
+        seed=int(body.get("seed", 0)),
+        processing_res=int(body.get("processing_res", 768)))
 
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
+    def enc(arr, mode):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
 
-        def do_POST(self):
-            from PIL import Image
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                img = np.asarray(Image.open(io.BytesIO(
-                    base64.b64decode(body["image"]))).convert("RGB"))
-                depth, normal = pipe.run(
-                    img, domain=body.get("domain", "indoor"),
-                    denoise_steps=int(body.get("steps", 10)),
-                    seed=int(body.get("seed", 0)),
-                    processing_res=int(body.get("processing_res", 768)))
-
-                def enc(arr, mode):
-                    buf = io.BytesIO()
-                    Image.fromarray(arr, mode).save(buf, format="PNG")
-                    return base64.b64encode(buf.getvalue()).decode()
-
-                self._send(200, json.dumps(
-                    {"depth": enc(depth, "L"), "normal": enc(normal, "RGB")}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    return {"depth": enc(depth, "L"), "normal": enc(normal, "RGB")}
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7874)
-    root = os.path.join(os.path.dirname(__file__), "..", "..")
-    ap.add_argument("--ckpt", default=os.environ.get(
-        "GEOWIZARD_CKPT", os.path.join(root, "models", "geowizard",
-                                       "geowizard.safetensors")))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    pipe = GeoWizardPipeline.from_file(args.ckpt)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(pipe))
-    print(f"geowizard space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    run_space("geowizard space", PAGE, process, default_port=7874, args=[
+        ("--ckpt", {"default": os.environ.get(
+            "GEOWIZARD_CKPT", os.path.join(root, "models", "geowizard",
+                                           "geowizard.safetensors"))}),
+    ], setup=lambda a: GeoWizardPipeline.from_file(a.ckpt))
 
 
 if __name__ == "__main__":

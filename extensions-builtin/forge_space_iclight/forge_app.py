@@ -18,13 +18,10 @@ Run: python forge_app.py --host 127.0.0.1 --port 7873 \
        [--iclight models/iclight/iclight_sd15_fc.safetensors]
 """
 
-import argparse
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -204,61 +201,32 @@ async function go(){
     "%BG%", "".join(f"<option>{b}</option>" for b in BG_SOURCES))
 
 
-def make_handler(pipe):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, pipe):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
-
-        def do_POST(self):
-            from PIL import Image
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                raw = base64.b64decode(body["image"])
-                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-                out = pipe.run(img, body.get("prompt", ""),
-                               seed=int(body.get("seed", 12345)),
-                               bg_source=body.get("bg_source", "None"))
-                buf = io.BytesIO()
-                Image.fromarray(out).save(buf, format="PNG")
-                self._send(200, json.dumps(
-                    {"image": base64.b64encode(buf.getvalue()).decode()}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    raw = base64.b64decode(body["image"])
+    img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+    out = pipe.run(img, body.get("prompt", ""),
+                   seed=int(body.get("seed", 12345)),
+                   bg_source=body.get("bg_source", "None"))
+    buf = io.BytesIO()
+    Image.fromarray(out).save(buf, format="PNG")
+    return {"image": base64.b64encode(buf.getvalue()).decode()}
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7873)
-    root = os.path.join(os.path.dirname(__file__), "..", "..")
-    ap.add_argument("--ckpt", default=os.environ.get(
-        "ICLIGHT_CKPT", os.path.join(root, "models", "checkpoints",
-                                     "realisticVision_v51.safetensors")))
-    ap.add_argument("--iclight", default=os.environ.get(
-        "ICLIGHT_OFFSET", os.path.join(root, "models", "iclight",
-                                       "iclight_sd15_fc.safetensors")))
-    ap.add_argument("--u2net-dir", default=os.path.join(root, "models", "u2net"))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    pipe = ICLightPipeline.from_files(args.ckpt, args.iclight, args.u2net_dir)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(pipe))
-    print(f"iclight space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    run_space("iclight space", PAGE, process, default_port=7873, args=[
+        ("--ckpt", {"default": os.environ.get(
+            "ICLIGHT_CKPT", os.path.join(root, "models", "checkpoints",
+                                         "realisticVision_v51.safetensors"))}),
+        ("--iclight", {"default": os.environ.get(
+            "ICLIGHT_OFFSET", os.path.join(root, "models", "iclight",
+                                           "iclight_sd15_fc.safetensors"))}),
+        ("--u2net-dir", {"default": os.path.join(root, "models", "u2net")}),
+    ], setup=lambda a: ICLightPipeline.from_files(a.ckpt, a.iclight, a.u2net_dir))
 
 
 if __name__ == "__main__":

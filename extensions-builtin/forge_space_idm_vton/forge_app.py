@@ -23,13 +23,10 @@ Checkpoint: one safetensors with the standard SDXL keys (model.diffusion_model
 Run: python forge_app.py --host H --port P [--ckpt FILE]
 """
 
-import argparse
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -224,67 +221,38 @@ async function go(){
 </script></body></html>"""
 
 
-def make_handler(pipe):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, pipe):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+    def dec(b64s, mode="RGB"):
+        if not b64s:
+            return None
+        return np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(b64s))).convert(mode))
 
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
-
-        def do_POST(self):
-            from PIL import Image
-
-            def dec(b64s, mode="RGB"):
-                if not b64s:
-                    return None
-                return np.asarray(Image.open(io.BytesIO(
-                    base64.b64decode(b64s))).convert(mode))
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                out = pipe.run(
-                    dec(body["person"]), dec(body["garment"]),
-                    garment_desc=body.get("desc", "clothes"),
-                    mask=dec(body.get("mask"), "L"),
-                    steps=int(body.get("steps", 20)),
-                    cfg_scale=float(body.get("cfg_scale", 2.0)),
-                    seed=int(body.get("seed", 0)),
-                    width=int(body.get("width", 768)),
-                    height=int(body.get("height", 1024)))
-                buf = io.BytesIO()
-                Image.fromarray(out).save(buf, format="PNG")
-                self._send(200, json.dumps(
-                    {"image": base64.b64encode(buf.getvalue()).decode()}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    out = pipe.run(
+        dec(body["person"]), dec(body["garment"]),
+        garment_desc=body.get("desc", "clothes"),
+        mask=dec(body.get("mask"), "L"),
+        steps=int(body.get("steps", 20)),
+        cfg_scale=float(body.get("cfg_scale", 2.0)),
+        seed=int(body.get("seed", 0)),
+        width=int(body.get("width", 768)),
+        height=int(body.get("height", 1024)))
+    buf = io.BytesIO()
+    Image.fromarray(out).save(buf, format="PNG")
+    return {"image": base64.b64encode(buf.getvalue()).decode()}
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7875)
-    root = os.path.join(os.path.dirname(__file__), "..", "..")
-    ap.add_argument("--ckpt", default=os.environ.get(
-        "IDM_VTON_CKPT", os.path.join(root, "models", "idm_vton",
-                                      "idm_vton.safetensors")))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    pipe = IdmVtonPipeline.from_file(args.ckpt)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(pipe))
-    print(f"idm-vton space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    run_space("idm-vton space", PAGE, process, default_port=7875, args=[
+        ("--ckpt", {"default": os.environ.get(
+            "IDM_VTON_CKPT", os.path.join(root, "models", "idm_vton",
+                                          "idm_vton.safetensors"))}),
+    ], setup=lambda a: IdmVtonPipeline.from_file(a.ckpt))
 
 
 if __name__ == "__main__":

@@ -16,13 +16,10 @@ Run: python forge_app.py --host 127.0.0.1 --port 7871 \
        [--controlnet models/ControlNet/<qrmonster>.safetensors]
 """
 
-import argparse
 import base64
 import io
-import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -119,63 +116,34 @@ class IllusionPipeline:
         return res.images[0]
 
 
-def make_handler(pipe):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, pipe):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
-
-        def do_POST(self):
-            from PIL import Image
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                raw = base64.b64decode(body["image"])
-                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-                out = pipe.run(
-                    img, body.get("prompt", ""), body.get("negative", ""),
-                    strength=float(body.get("strength", 1.0)),
-                    guidance_scale=float(body.get("guidance_scale", 8.0)),
-                    upscaler_strength=float(body.get("upscaler_strength", 0.5)),
-                    seed=int(body.get("seed", -1)))
-                buf = io.BytesIO()
-                Image.fromarray(out).save(buf, format="PNG")
-                self._send(200, json.dumps(
-                    {"image": base64.b64encode(buf.getvalue()).decode()}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    raw = base64.b64decode(body["image"])
+    img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+    out = pipe.run(
+        img, body.get("prompt", ""), body.get("negative", ""),
+        strength=float(body.get("strength", 1.0)),
+        guidance_scale=float(body.get("guidance_scale", 8.0)),
+        upscaler_strength=float(body.get("upscaler_strength", 0.5)),
+        seed=int(body.get("seed", -1)))
+    buf = io.BytesIO()
+    Image.fromarray(out).save(buf, format="PNG")
+    return {"image": base64.b64encode(buf.getvalue()).decode()}
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7871)
-    root = os.path.join(os.path.dirname(__file__), "..", "..")
-    ap.add_argument("--ckpt", default=os.environ.get(
-        "ILLUSION_CKPT", os.path.join(root, "models", "checkpoints",
-                                      "illusion_sd15.safetensors")))
-    ap.add_argument("--controlnet", default=os.environ.get(
-        "ILLUSION_CONTROLNET", os.path.join(root, "models", "ControlNet",
-                                            "qrmonster_sd15.safetensors")))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    pipe = IllusionPipeline.from_files(args.ckpt, args.controlnet)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(pipe))
-    print(f"illusion space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    run_space("illusion space", PAGE, process, default_port=7871, args=[
+        ("--ckpt", {"default": os.environ.get(
+            "ILLUSION_CKPT", os.path.join(root, "models", "checkpoints",
+                                          "illusion_sd15.safetensors"))}),
+        ("--controlnet", {"default": os.environ.get(
+            "ILLUSION_CONTROLNET", os.path.join(root, "models", "ControlNet",
+                                                "qrmonster_sd15.safetensors"))}),
+    ], setup=lambda a: IllusionPipeline.from_files(a.ckpt, a.controlnet))
 
 
 if __name__ == "__main__":

@@ -8,13 +8,11 @@ app's style_template/aspect_ratio_template tables.
 Run: python forge_app.py --host H --port P [--ckpt SDXL] [--photomaker CKPT]
 """
 
-import argparse
 import base64
 import io
 import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -143,68 +141,39 @@ PAGE = PAGE.replace("%STYLES%", json.dumps(list(STYLES))) \
            .replace("%ASPECTS%", json.dumps(list(ASPECTS)))
 
 
-def make_handler(pipe):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
+def process(body, pipe):
+    from PIL import Image
 
-        def _send(self, code, body, ctype="application/json"):
-            data = body if isinstance(body, bytes) else body.encode()
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def do_GET(self):
-            self._send(200, PAGE, "text/html")
-
-        def do_POST(self):
-            from PIL import Image
-
-            try:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(length))
-                imgs = [np.asarray(Image.open(io.BytesIO(
-                    base64.b64decode(b))).convert("RGB"))
-                    for b in body.get("images", [])]
-                out = pipe.run(
-                    imgs, body.get("prompt", ""),
-                    negative=body.get("negative", ""),
-                    style=body.get("style", "Photographic (Default)"),
-                    aspect=body.get("aspect", "1024 x 1024 (Square)"),
-                    steps=int(body.get("steps", 30)),
-                    guidance_scale=float(body.get("guidance_scale", 5.0)),
-                    seed=int(body.get("seed", -1)),
-                    width=body.get("width"), height=body.get("height"),
-                    face_embeds=body.get("face_embeds"))
-                buf = io.BytesIO()
-                Image.fromarray(out).save(buf, format="PNG")
-                self._send(200, json.dumps(
-                    {"image": base64.b64encode(buf.getvalue()).decode()}))
-            except Exception as e:  # noqa: BLE001 — report to the client
-                self._send(500, json.dumps({"error": str(e)}))
-
-    return Handler
+    imgs = [np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(b))).convert("RGB"))
+        for b in body.get("images", [])]
+    out = pipe.run(
+        imgs, body.get("prompt", ""),
+        negative=body.get("negative", ""),
+        style=body.get("style", "Photographic (Default)"),
+        aspect=body.get("aspect", "1024 x 1024 (Square)"),
+        steps=int(body.get("steps", 30)),
+        guidance_scale=float(body.get("guidance_scale", 5.0)),
+        seed=int(body.get("seed", -1)),
+        width=body.get("width"), height=body.get("height"),
+        face_embeds=body.get("face_embeds"))
+    buf = io.BytesIO()
+    Image.fromarray(out).save(buf, format="PNG")
+    return {"image": base64.b64encode(buf.getvalue()).decode()}
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7873)
-    root = os.path.join(os.path.dirname(__file__), "..", "..")
-    ap.add_argument("--ckpt", default=os.environ.get(
-        "PHOTOMAKER_SDXL_CKPT", os.path.join(root, "models", "checkpoints",
-                                             "realvisxl-v4.safetensors")))
-    ap.add_argument("--photomaker", default=os.environ.get(
-        "PHOTOMAKER_CKPT", os.path.join(root, "models", "photomaker",
-                                        "photomaker-v2.safetensors")))
-    args = ap.parse_args()
+    from forge_tpu.runtime.space_harness import run_space
 
-    pipe = PhotoMakerPipeline.from_files(args.ckpt, args.photomaker)
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(pipe))
-    print(f"photomaker space on http://{args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    run_space("photomaker space", PAGE, process, default_port=7873, args=[
+        ("--ckpt", {"default": os.environ.get(
+            "PHOTOMAKER_SDXL_CKPT", os.path.join(root, "models", "checkpoints",
+                                                 "realvisxl-v4.safetensors"))}),
+        ("--photomaker", {"default": os.environ.get(
+            "PHOTOMAKER_CKPT", os.path.join(root, "models", "photomaker",
+                                            "photomaker-v2.safetensors"))}),
+    ], setup=lambda a: PhotoMakerPipeline.from_files(a.ckpt, a.photomaker))
 
 
 if __name__ == "__main__":

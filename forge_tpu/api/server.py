@@ -243,6 +243,8 @@ class Api:
             ("POST", "/sdapi/v1/merge-checkpoints"): self.merge_checkpoints,
             ("GET", "/sdapi/v1/extra-networks/metadata"): self.network_metadata_get,
             ("POST", "/sdapi/v1/extra-networks/metadata"): self.network_metadata_set,
+            ("GET", "/sdapi/v1/extra-networks/cards"): self.network_cards,
+            ("GET", "/sdapi/v1/extra-networks/preview"): self.network_preview,
             ("POST", "/sdapi/v1/xyz-grid"): self.xyz_grid,
             ("GET", "/config_states"): self.config_states_api,
             ("POST", "/config_states/save"): self.config_states_save,
@@ -819,6 +821,97 @@ class Api:
             run_xyz_grid, eng, p, x, mk(axes_spec[1]), mk(axes_spec[2]))
         return {"images": [_image_to_b64(g) for g in grids]}
 
+    def _network_paths(self, kind: str):
+        """name → file path for one extra-network kind (the card sources the
+        reference's ui_extra_networks pages enumerate: lora, TI embeddings,
+        hypernetworks, checkpoints — modules/ui_extra_networks*.py)."""
+        import glob as _glob
+        import os as _os
+
+        kind = (kind or "lora").lower()
+        if kind in ("lora", "lycoris"):
+            return dict(self._lora_registry().available)
+        if kind in ("ti", "embedding", "embeddings", "textual inversion"):
+            out = {}
+            for d in ("embeddings", "models/embeddings"):
+                for ext in (".safetensors", ".pt", ".bin"):
+                    for p in sorted(_glob.glob(_os.path.join(d, f"**/*{ext}"),
+                                               recursive=True)):
+                        out[_os.path.splitext(_os.path.basename(p))[0]] = p
+            return out
+        if kind in ("hypernet", "hypernetwork", "hypernetworks"):
+            out = {}
+            for d in ("models/hypernetworks",):
+                for ext in (".safetensors", ".pt", ".ckpt"):
+                    for p in sorted(_glob.glob(_os.path.join(d, f"**/*{ext}"),
+                                               recursive=True)):
+                        out[_os.path.splitext(_os.path.basename(p))[0]] = p
+            return out
+        if kind in ("checkpoint", "checkpoints", "model"):
+            return {name: info.path
+                    for name, info in sorted(self.models.checkpoints.items())}
+        raise ApiError(422, f"unknown extra-network kind {kind!r}")
+
+    @staticmethod
+    def _preview_path(path: str):
+        import os as _os
+
+        stem = _os.path.splitext(path)[0]
+        for suffix in (".preview.png", ".preview.jpg", ".png", ".jpg", ".webp"):
+            cand = stem + suffix
+            if cand != path and _os.path.exists(cand):
+                return cand
+        return None
+
+    def network_cards(self, query, body):
+        """Card listing for the extra-networks browser (SPA Networks tab):
+        name, subdirectory, preview availability, and the sidecar user
+        metadata the reference's card overlays show."""
+        import os as _os
+
+        kind = (query or {}).get("kind", ["lora"])[0]
+        search = ((query or {}).get("search", [""])[0] or "").lower()
+        paths = self._network_paths(kind)
+        cards, dirs = [], set()
+        for name, path in sorted(paths.items()):
+            if search and search not in name.lower() and search not in path.lower():
+                continue
+            d = _os.path.dirname(path)
+            dirs.add(d)
+            meta = {}
+            side = _os.path.splitext(path)[0] + ".json"
+            if _os.path.exists(side):
+                try:
+                    with open(side, encoding="utf8") as f:
+                        meta = json.load(f)
+                except Exception:  # noqa: BLE001 — corrupt sidecar ≠ no card
+                    meta = {}
+            cards.append({
+                "name": name,
+                "path": path,
+                "dir": d,
+                "has_preview": self._preview_path(path) is not None,
+                "description": meta.get("description", ""),
+                "activation_text": meta.get("activation text", ""),
+                "preferred_weight": meta.get("preferred weight", 0) or 0,
+            })
+        return {"kind": kind, "cards": cards, "dirs": sorted(dirs)}
+
+    def network_preview(self, query, body):
+        kind = (query or {}).get("kind", ["lora"])[0]
+        name = (query or {}).get("name", [""])[0]
+        path = self._network_paths(kind).get(name)
+        if path is None:
+            raise ApiError(404, f"unknown network {name!r}")
+        prev = self._preview_path(path)
+        if prev is None:
+            raise ApiError(404, f"no preview for {name!r}")
+        with open(prev, "rb") as f:
+            data = f.read()
+        ctype = ("image/jpeg" if prev.endswith((".jpg", ".jpeg"))
+                 else "image/webp" if prev.endswith(".webp") else "image/png")
+        return _RawResponse(data, ctype)
+
     def network_metadata_get(self, query, body):
         """Per-network user metadata (reference
         ui_extra_networks_user_metadata.py: a "{path}.json" sidecar with
@@ -826,8 +919,8 @@ class Api:
         import os as _os
 
         name = (query or {}).get("name", [""])[0]
-        reg = self._lora_registry()
-        path = reg.available.get(name)
+        kind = (query or {}).get("kind", ["lora"])[0]
+        path = self._network_paths(kind).get(name)
         if path is None:
             raise ApiError(404, f"unknown network {name!r}")
         side = _os.path.splitext(path)[0] + ".json"
@@ -843,8 +936,8 @@ class Api:
 
         body = body or {}
         name = body.pop("name", "")
-        reg = self._lora_registry()
-        path = reg.available.get(name)
+        kind = body.pop("kind", "lora")
+        path = self._network_paths(kind).get(name)
         if path is None:
             raise ApiError(404, f"unknown network {name!r}")
         keep = {k: body[k] for k in
@@ -955,8 +1048,8 @@ class Api:
 
 
 class _RawResponse:
-    def __init__(self, body: str, content_type: str):
-        self.body = body
+    def __init__(self, body, content_type: str):
+        self.body = body  # str or bytes
         self.content_type = content_type
 
 
@@ -1049,7 +1142,8 @@ class _Handler(BaseHTTPRequestHandler):
                     print(f"API {method} {parsed.path} 200 "
                           f"{_time.time() - t0:.3f}s")
             if isinstance(result, _RawResponse):
-                data = result.body.encode()
+                data = (result.body if isinstance(result.body, bytes)
+                        else result.body.encode())
                 self.send_response(200)
                 self.send_header("Content-Type", result.content_type)
                 self.send_header("Content-Length", str(len(data)))

@@ -87,6 +87,29 @@ legend{color:var(--dim);padding:0 6px;font-size:12px;text-transform:uppercase;
 .small{font-size:12px;color:var(--dim)}
 details{margin:4px 0}
 details>summary{cursor:pointer;color:var(--dim)}
+.cards{display:grid;grid-template-columns:repeat(auto-fill,minmax(150px,1fr));
+  gap:10px;margin-top:10px}
+.card{background:var(--panel2);border-radius:8px;overflow:hidden;cursor:pointer;
+  border:1px solid transparent;position:relative}
+.card:hover{border-color:var(--accent)}
+.card .thumb{width:100%;aspect-ratio:1;object-fit:cover;display:block;
+  background:var(--panel)}
+.card .thumb.ph{display:flex;align-items:center;justify-content:center;
+  font-size:34px;color:var(--muted)}
+.card .cname{padding:6px 8px;font-size:12px;word-break:break-all}
+.card .cdesc{padding:0 8px 6px;font-size:11px;color:var(--muted)}
+.card .edit{position:absolute;top:6px;right:6px;background:var(--panel);
+  border:none;border-radius:4px;cursor:pointer;padding:2px 6px}
+#net-kinds button{margin-right:4px}
+#net-kinds button.active{background:var(--accent);color:#fff}
+#net-dirs button{margin:2px 4px 2px 0}
+#net-dirs button.active{background:var(--accent);color:#fff}
+.modal{position:fixed;inset:0;background:#0009;display:none;z-index:40;
+  align-items:center;justify-content:center}
+.modal .box{background:var(--panel);border-radius:10px;padding:18px;
+  min-width:340px;max-width:520px}
+.modal .box label{display:block;margin-top:8px;font-size:12px;color:var(--muted)}
+.modal .box input,.modal .box textarea{width:100%}
 #lightbox{position:fixed;inset:0;background:#000c;display:none;
   align-items:center;justify-content:center;z-index:50}
 #lightbox img{max-width:94vw;max-height:92vh}
@@ -108,6 +131,7 @@ details>summary{cursor:pointer;color:var(--dim)}
   <button data-tab="img2img">img2img</button>
   <button data-tab="extras">Extras</button>
   <button data-tab="pnginfo">PNG Info</button>
+  <button data-tab="networks">Networks</button>
   <button data-tab="xyz">X/Y/Z</button>
   <button data-tab="merge">Merge</button>
   <button data-tab="extensions">Extensions</button>
@@ -232,6 +256,27 @@ details>summary{cursor:pointer;color:var(--dim)}
 </div>
 
 <!-- ===================== Spaces ========================================= -->
+<!-- ===================== Extra-networks browser ========================= -->
+<div class="tab" id="tab-networks">
+  <fieldset><legend>Extra networks</legend>
+    <div class="row">
+      <span id="net-kinds">
+        <button data-kind="lora" class="active">Lora</button>
+        <button data-kind="ti">Textual Inversion</button>
+        <button data-kind="hypernet">Hypernetworks</button>
+        <button data-kind="checkpoint">Checkpoints</button>
+      </span>
+      <input id="net-search" class="grow" placeholder="search networks…">
+      <button id="net-refresh" title="Rescan directories">&#10227;</button>
+    </div>
+    <div class="row small" id="net-dirs"></div>
+    <div id="net-cards" class="cards"></div>
+    <div class="small" id="net-empty" style="display:none">
+      nothing found — put files under models/Lora, embeddings/,
+      models/hypernetworks or models/Stable-diffusion</div>
+  </fieldset>
+</div>
+
 <div class="tab" id="tab-spaces">
   <fieldset><legend>Forge Spaces</legend>
     <div id="spaces-list" class="kv"></div>
@@ -258,6 +303,21 @@ details>summary{cursor:pointer;color:var(--dim)}
 </main>
 <div class="toast" id="toast"></div>
 <div id="lightbox"><img id="lightbox-img"></div>
+<div class="modal" id="net-modal">
+  <div class="box">
+    <h3 id="net-modal-title" style="margin-top:0"></h3>
+    <label>Description</label><textarea id="net-md-desc" rows="2"></textarea>
+    <label>Activation text (appended on insert)</label>
+    <input id="net-md-act">
+    <label>Preferred weight (0 = default 1.0)</label>
+    <input id="net-md-weight" type="number" step="0.05" min="-2" max="2">
+    <label>Notes</label><textarea id="net-md-notes" rows="3"></textarea>
+    <div class="row" style="margin-top:12px">
+      <button class="primary" id="net-md-save">Save</button>
+      <button id="net-md-cancel">Cancel</button>
+    </div>
+  </div>
+</div>
 
 <script>
 "use strict";
@@ -817,6 +877,87 @@ async function loadSpaces(){
   }catch(e){}
 }
 loadSpaces();
+
+/* ------- extra-networks browser (reference modules/ui_extra_networks*.py:
+   kind pages, search, directory chips, cards with previews, user-metadata
+   editor persisting to the {path}.json sidecar) ------- */
+const netState={kind:"lora",search:"",dir:""};
+let lastGenTab="txt2img";
+$$("nav.tabs button").forEach(b=>b.addEventListener("click",()=>{
+  if(b.dataset.tab==="txt2img"||b.dataset.tab==="img2img")lastGenTab=b.dataset.tab;}));
+function netInsert(card){
+  if(netState.kind==="checkpoint"){
+    api("/sdapi/v1/options",{sd_model_checkpoint:card.name})
+      .then(()=>toast("checkpoint set: "+card.name))
+      .catch(e=>toast(e.message,false));
+    return;
+  }
+  let ins=card.name;
+  if(netState.kind==="lora"){const w=+card.preferred_weight||1;ins=`<lora:${card.name}:${w}>`;}
+  else if(netState.kind==="hypernet")ins=`<hypernet:${card.name}:1>`;
+  if(card.activation_text)ins+=", "+card.activation_text;
+  const t=$(`#${lastGenTab}-prompt`);
+  t.value=(t.value?t.value+", ":"")+ins;
+  toast("inserted: "+ins);
+  $$("nav.tabs button").find(b=>b.dataset.tab===lastGenTab).click();
+}
+let netEditing=null;
+async function netEdit(card){
+  let md={};
+  try{md=await api(`/sdapi/v1/extra-networks/metadata?kind=${netState.kind}&name=${encodeURIComponent(card.name)}`);}catch(e){}
+  netEditing=card.name;
+  $("#net-modal-title").textContent=card.name;
+  $("#net-md-desc").value=md.description||"";
+  $("#net-md-act").value=md["activation text"]||"";
+  $("#net-md-weight").value=md["preferred weight"]||0;
+  $("#net-md-notes").value=md.notes||"";
+  $("#net-modal").style.display="flex";
+}
+$("#net-md-save").onclick=async()=>{
+  try{
+    await api("/sdapi/v1/extra-networks/metadata",{name:netEditing,kind:netState.kind,
+      description:$("#net-md-desc").value,"activation text":$("#net-md-act").value,
+      "preferred weight":+$("#net-md-weight").value,notes:$("#net-md-notes").value});
+    toast("metadata saved");$("#net-modal").style.display="none";loadNetCards();
+  }catch(e){toast(e.message,false);}
+};
+$("#net-md-cancel").onclick=()=>$("#net-modal").style.display="none";
+async function loadNetCards(){
+  let res;
+  try{res=await api(`/sdapi/v1/extra-networks/cards?kind=${netState.kind}`+
+    `&search=${encodeURIComponent(netState.search)}`);}
+  catch(e){toast(e.message,false);return;}
+  const dirs=res.dirs||[];
+  $("#net-dirs").innerHTML=dirs.length>1?dirs.map(d=>
+    `<button data-dir="${d}" class="${netState.dir===d?"active":""}">${d||"."}</button>`).join("")+
+    `<button data-dir="" class="${netState.dir===""?"active":""}">all</button>`:"";
+  $$("#net-dirs [data-dir]").forEach(b=>b.onclick=()=>{
+    netState.dir=b.dataset.dir;loadNetCards();});
+  const cards=(res.cards||[]).filter(c=>!netState.dir||c.dir===netState.dir);
+  $("#net-empty").style.display=cards.length?"none":"block";
+  $("#net-cards").innerHTML=cards.map((c,i)=>{
+    const img=c.has_preview?`<img class="thumb" loading="lazy" alt=""
+      src="/sdapi/v1/extra-networks/preview?kind=${netState.kind}&name=${encodeURIComponent(c.name)}">`:
+      `<div class="thumb ph">&#127924;</div>`;
+    return `<div class="card" data-i="${i}">${img}
+      <button class="edit" data-e="${i}" title="edit metadata">&#9998;</button>
+      <div class="cname">${c.name}</div>
+      ${c.description?`<div class="cdesc">${c.description}</div>`:""}</div>`;}).join("");
+  $$("#net-cards .card").forEach(el=>el.onclick=e=>{
+    if(e.target.classList.contains("edit"))return;
+    netInsert(cards[+el.dataset.i]);});
+  $$("#net-cards .edit").forEach(el=>el.onclick=e=>{
+    e.stopPropagation();netEdit(cards[+el.dataset.e]);});
+}
+$$("#net-kinds button").forEach(b=>b.onclick=()=>{
+  $$("#net-kinds button").forEach(x=>x.classList.remove("active"));
+  b.classList.add("active");netState.kind=b.dataset.kind;netState.dir="";loadNetCards();});
+$("#net-search").oninput=()=>{clearTimeout(netState._t);
+  netState._t=setTimeout(()=>{netState.search=$("#net-search").value;loadNetCards();},250);};
+$("#net-refresh").onclick=async()=>{
+  try{await api("/sdapi/v1/refresh-loras",{});}catch(e){}
+  loadNetCards();};
+loadNetCards();
 
 /* ------- xyz grid ------- */
 const XYZ_FIELDS=["(none)","seed","steps","cfg_scale","sampler_name","scheduler",

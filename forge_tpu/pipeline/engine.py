@@ -151,6 +151,18 @@ class DiffusionEngine:
         self.clip_skip = 1
         self.mesh = None  # set by attach_mesh for multi-chip serving
 
+    def _wrap_jit(self, fn, key, donate_argnums=()):
+        """jit with AOT artifact persistence when single-device (the mesh
+        path records shardings the artifact should not pin)."""
+        if self.mesh is None:
+            from ..runtime.aot import aot_jit
+
+            return aot_jit(
+                fn, key=("engine", self.family, jnp.dtype(self.vae_dtype).name,
+                         key),
+                donate_argnums=donate_argnums)
+        return jax.jit(fn, donate_argnums=donate_argnums)
+
     def enable_host_offload(self, hbm_budget: Optional[int] = None) -> str:
         """Low-HBM mode: stream UNet weights from pinned host memory
         (runtime/offload.py — the TPU-native CPU-swap replacement)."""
@@ -438,12 +450,11 @@ class DiffusionEngine:
             # params are an EXPLICIT argument: closure-captured consts are
             # re-marshaled on every dispatch by the PJRT tunnel (measured
             # 28 ms/call for one captured tree vs 0.4 ms as an argument)
-            @jax.jit
             def fn(vp, z):
                 z = jnp.asarray(self.latent_format.process_out(z.astype(jnp.float32)))
                 return vae_mod.vae_decode(vp, z.astype(self.vae_dtype))
 
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = self._wrap_jit(fn, key)
         return self._jit_cache[key](self.loaded.vae, latent)
 
     def decode_first_stage_tiled(self, latent: jax.Array, tile: int = 64,
@@ -503,26 +514,24 @@ class DiffusionEngine:
         (tunnel bandwidth is the tail of per-image latency)."""
         key = ("vae_decode_u8", latent.shape, latent.dtype.name)
         if key not in self._jit_cache:
-            @jax.jit
             def fn(vp, z):
                 z = jnp.asarray(self.latent_format.process_out(z.astype(jnp.float32)))
                 img = vae_mod.vae_decode(vp, z.astype(self.vae_dtype))
                 img = jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5, 0, 255)
                 return img.astype(jnp.uint8)
 
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = self._wrap_jit(fn, key)
         return self._jit_cache[key](self.loaded.vae, latent)
 
     def encode_first_stage(self, images: jax.Array, noise: Optional[jax.Array] = None) -> jax.Array:
         """images [B,H,W,3] in [-1,1] → regulated latent [B,H/8,W/8,C]."""
         key = ("vae_encode", images.shape, images.dtype.name, noise is None)
         if key not in self._jit_cache:
-            @jax.jit
             def fn(vp, x, nz):
                 z = vae_mod.vae_encode(vp, x.astype(self.vae_dtype), noise=nz)
                 return jnp.asarray(self.latent_format.process_in(z.astype(jnp.float32)))
 
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = self._wrap_jit(fn, key)
         return self._jit_cache[key](self.loaded.vae, images, noise)
 
 

@@ -351,7 +351,8 @@ def _progress_tick(x0):
 
 
 def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
-                     masked: bool, sigmas_np: np.ndarray, progress: bool = False):
+                     masked: bool, sigmas_np: np.ndarray, progress: bool = False,
+                     aot_key=None):
     info = get_sampler(p.sampler_name)
 
     def build_apply(hooks):
@@ -443,6 +444,13 @@ def _build_sample_fn(engine: DiffusionEngine, p: Processing, skip_uncond: bool,
                 kwargs[name] = value
         return info.fn(model_fn, x, sigmas, **kwargs)
 
+    if aot_key is not None and engine.mesh is None and not progress:
+        # persistent exported artifact: a warm server restart skips the
+        # model tracing/lowering of this (largest) program (runtime/aot.py);
+        # progress mode carries io_callbacks jax.export cannot serialize
+        from ..runtime.aot import aot_jit
+
+        return aot_jit(fn, key=aot_key, donate_argnums=(1,))
     return jax.jit(fn, donate_argnums=(1,))
 
 
@@ -995,7 +1003,7 @@ def _run_sampler(engine, p, x, sigmas, noise, cond, uncond, skip_uncond,
     if key not in engine._jit_cache:
         engine._jit_cache[key] = _build_sample_fn(
             engine, p, skip_uncond, mask is not None, np.asarray(sigmas, np.float32),
-            progress=progress,
+            progress=progress, aot_key=key,
         )
     fn = engine._jit_cache[key]
     if progress:

@@ -1,0 +1,146 @@
+"""AOT program store: persistent jax.export artifacts keyed by content.
+
+The warm-restart problem (PERF.md compile forensics): with a warm XLA
+persistent cache a server restart still pays, per program, ~1.2 s of Python
+tracing + ~0.4 s of lowering before the ~3 s cache-load — all serialized on
+the host. The model-side tracing cost scales with the parameter-tree size
+(thousands of leaves flattened per trace), not with what changed.
+
+`aot_jit` removes the model tracing/lowering from every process after the
+first: when a program (keyed by the same content digest the jit cache uses +
+the concrete argument signature + backend + jax version) has been exported
+before, the stored StableHLO artifact is deserialized (sub-millisecond) and
+wrapped in a trivial jit whose trace touches no model code. The XLA
+persistent cache then supplies the compiled executable. Crucially the hot
+process ALSO runs through the exported artifact, so both paths lower the
+identical module and share one XLA cache entry (no double compile).
+
+The reference has no analog — torch eager never compiles — so this is the
+TPU rebuild's answer to "the reference's first image is load-dominated, ours
+must not be compile-dominated" (VERDICT r3 missing #4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+
+AOT_DIR = os.environ.get(
+    "FORGE_TPU_AOT_CACHE", os.path.expanduser("~/.cache/forge_tpu_aot"))
+_DISABLED = os.environ.get("FORGE_TPU_AOT_CACHE") == "0"
+_LOCK = threading.Lock()
+_WARNED = {"once": False}
+
+
+def _args_signature(args) -> str:
+    leaves, treedef = jax.tree.flatten(args)
+    parts = []
+    for leaf in leaves:
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            parts.append(f"{leaf.dtype}{tuple(leaf.shape)}")
+        else:
+            parts.append(repr(leaf))
+    return hashlib.sha256(
+        (str(treedef) + "|" + ";".join(parts)).encode()).hexdigest()[:20]
+
+
+def _artifact_path(key: str, sig: str) -> str:
+    backend = jax.default_backend()
+    dev = ""
+    try:
+        dev = jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:  # noqa: BLE001 — device kind is a cache-key nicety
+        pass
+    stem = hashlib.sha256(
+        f"{key}|{sig}|{backend}|{dev}|{jax.__version__}".encode()
+    ).hexdigest()[:32]
+    return os.path.join(AOT_DIR, f"{stem}.jaxexp")
+
+
+class AotFunction:
+    """jit with a persistent exported-artifact fast path.
+
+    First call in a process resolves: artifact present → deserialize + thin
+    jit (no model tracing); absent → trace/export/persist, then execute
+    through the exported module so later restarts share the XLA cache entry.
+    Export failures (unsupported callbacks etc.) degrade to plain jit.
+    """
+
+    def __init__(self, fn: Callable, key: Any, donate_argnums: Sequence[int] = ()):
+        self._fn = fn
+        self._key = repr(key)
+        self._donate = tuple(donate_argnums)
+        self._callable: Optional[Callable] = None
+
+    def _export_kwargs(self):
+        from jax import export as jexport
+
+        # Pallas kernels lower to tpu_custom_call, which jax.export flags as
+        # non-stable across versions; artifacts here are keyed by jax version
+        # and device kind, so same-environment reuse is sound.
+        checks = [jexport.DisabledSafetyCheck.custom_call(n)
+                  for n in ("tpu_custom_call", "Sharding",
+                            "__gpu$xla.gpu.triton")]
+        return {"disabled_checks": checks}
+
+    def _resolve(self, args):
+        from jax import export as jexport
+
+        jitted = jax.jit(self._fn, donate_argnums=self._donate)
+        if _DISABLED:
+            return jitted
+        path = _artifact_path(self._key, _args_signature(args))
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    exp = jexport.deserialize(bytearray(f.read()))
+                return jax.jit(exp.call, donate_argnums=self._donate)
+            except Exception as e:  # noqa: BLE001 — stale artifact → retrace
+                if not _WARNED["once"]:
+                    _WARNED["once"] = True
+                    print(f"aot: artifact load failed ({e}); retracing")
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        try:
+            shapes = jax.tree.map(
+                lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype)
+                if hasattr(l, "shape") and hasattr(l, "dtype") else l, args)
+            exp = jexport.export(jitted, **self._export_kwargs())(*shapes)
+            blob = exp.serialize()
+            os.makedirs(AOT_DIR, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            # execute through the exported module: the hot process and every
+            # warm restart then compile the IDENTICAL lowered module → one
+            # XLA persistent-cache entry
+            return jax.jit(exp.call, donate_argnums=self._donate)
+        except Exception as e:  # noqa: BLE001 — export is an optimization
+            if not _WARNED["once"]:
+                _WARNED["once"] = True
+                print(f"aot: export unavailable for {self._key[:60]} ({e}); "
+                      f"using plain jit")
+            return jitted
+
+    def __call__(self, *args):
+        if self._callable is None:
+            with _LOCK:
+                if self._callable is None:
+                    self._callable = self._resolve(args)
+        return self._callable(*args)
+
+    def clear_cache(self):
+        if self._callable is not None and hasattr(self._callable, "clear_cache"):
+            self._callable.clear_cache()
+        self._callable = None
+
+
+def aot_jit(fn: Callable, key: Any, donate_argnums: Sequence[int] = ()) -> AotFunction:
+    return AotFunction(fn, key, donate_argnums=donate_argnums)

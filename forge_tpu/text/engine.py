@@ -122,10 +122,14 @@ class ClassicTextEngine:
                o.layer, o.layer_idx, o.final_layer_norm, o.clip_skip, o.pooled_projection)
         fn = self._encode_cache.get(key)
         if fn is None:
+            from ..runtime.aot import aot_jit
+
             if input_embeds is not None:
-                fn = jax.jit(lambda params, toks, mults, ie: self._encode_core(params, toks, mults, ie))
+                fn = aot_jit(lambda params, toks, mults, ie: self._encode_core(params, toks, mults, ie),
+                             key=("clip_encode", self.cfg, key))
             else:
-                fn = jax.jit(lambda params, toks, mults: self._encode_core(params, toks, mults, None))
+                fn = aot_jit(lambda params, toks, mults: self._encode_core(params, toks, mults, None),
+                             key=("clip_encode", self.cfg, key))
             self._encode_cache[key] = fn
         if input_embeds is not None:
             return fn(self.params, flat_tokens, flat_mults, input_embeds)

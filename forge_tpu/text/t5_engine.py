@@ -78,7 +78,10 @@ class T5TextEngine:
         key = batch_ids.shape
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._encode_core)
+            from ..runtime.aot import aot_jit
+
+            fn = aot_jit(self._encode_core,
+                         key=("t5_encode", self.num_heads, key))
             self._jit_cache[key] = fn
         return fn(self.params, jnp.asarray(batch_ids), jnp.asarray(batch_mults))
 

@@ -28,8 +28,14 @@ def pytest_configure(config):
 
 
 def pytest_sessionstart(session):
-    # keep tests hermetic: never write outputs/ or params.txt from suites
+    # keep tests hermetic: never write outputs/ or params.txt from suites,
+    # and keep AOT export artifacts out of the user's cache (tests that
+    # exercise the artifact path monkeypatch their own tmp dir)
+    import tempfile
+
+    from forge_tpu.runtime import aot
     from forge_tpu.runtime.options import opts
 
+    aot.AOT_DIR = tempfile.mkdtemp(prefix="forge_aot_test_")
     opts.set("samples_save", False, run_onchange=False)
     opts.set("save_write_params_txt", False, run_onchange=False)
