@@ -914,10 +914,7 @@ def _nan_check_enabled() -> bool:
 def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array,
                      p: Optional[Processing] = None) -> np.ndarray:
     t0 = time.time()
-    if _nan_check_enabled():
-        from ..runtime.profiling import test_for_nans
-
-        test_for_nans(latent, "unet")
+    nan_check = _nan_check_enabled()
     try:
         from ..runtime.options import opts as _o
 
@@ -929,20 +926,38 @@ def _decode_to_uint8(engine: DiffusionEngine, latent: jax.Array,
 
         params = taesd_for_family(engine.family)
         if params is not None:
+            if nan_check:
+                from ..runtime.profiling import test_for_nans
+
+                test_for_nans(latent, "unet")
             raw = engine.latent_format.process_out(latent)
             rgb = np.asarray(_jitted_taesd_decode()(params, raw.astype(jnp.float32)))
             _PHASE["decode"] = time.time() - t0
             return (rgb * 255.0 + 0.5).astype(np.uint8)
     plan = getattr(p, "_plan", None) if p is not None else None
     if plan is not None and plan.tiled_vae:
+        if nan_check:
+            from ..runtime.profiling import test_for_nans
+
+            test_for_nans(latent, "unet")
         img = np.asarray(engine.decode_first_stage_tiled(latent), np.float32)
-        if _nan_check_enabled():
+        if nan_check:
             from ..runtime.profiling import test_for_nans
 
             test_for_nans(img, "vae")
         out = np.clip((img + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
     else:
-        out = np.asarray(engine.decode_to_uint8(latent))
+        # the NaN checks ride the decode program: separate tiny jits each
+        # cost a cache-artifact load per process (runtime/aot.py rationale)
+        img, lat_ok, img_ok = engine.decode_to_uint8_checked(latent)
+        out = np.asarray(img)
+        if nan_check:
+            from ..runtime.profiling import raise_nans
+
+            if not bool(lat_ok):
+                raise_nans("unet")
+            if not bool(img_ok):
+                raise_nans("vae")
     _PHASE["decode"] = time.time() - t0
     return out
 

@@ -129,17 +129,23 @@ def test_for_nans(x, where: str = "unet", enabled: bool = True):
         arr = np.asarray(x, dtype=np.float32)
         bad = bool(np.isnan(arr).any() or np.isinf(arr).any())
     if bad:
-        if where == "unet":
-            message = (
-                "A tensor with NaNs was produced in the UNet. This could be "
-                "caused by a model trained in a different precision, a broken "
-                "LoRA, or bad conditioning. Try float32 compute dtype."
-            )
-        elif where == "vae":
-            message = (
-                "A tensor with NaNs was produced in the VAE. Use a fixed "
-                "fp16-safe VAE or float32 VAE dtype."
-            )
-        else:
-            message = f"A tensor with NaNs was produced at {where}."
-        raise NansException(message)
+        raise_nans(where)
+
+
+def raise_nans(where: str):
+    """Raise the actionable per-stage message (also used by the fused
+    decode+check program, pipeline/engine.py decode_to_uint8_checked)."""
+    if where == "unet":
+        message = (
+            "A tensor with NaNs was produced in the UNet. This could be "
+            "caused by a model trained in a different precision, a broken "
+            "LoRA, or bad conditioning. Try float32 compute dtype."
+        )
+    elif where == "vae":
+        message = (
+            "A tensor with NaNs was produced in the VAE. Use a fixed "
+            "fp16-safe VAE or float32 VAE dtype."
+        )
+    else:
+        message = f"A tensor with NaNs was produced at {where}."
+    raise NansException(message)
