@@ -549,7 +549,10 @@ class DiffusionEngine:
         the decode program as two scalars instead of separate compiled
         programs (each extra program costs a cache-artifact load per process
         — 10s of seconds over the remote-compile tunnel)."""
-        key = ("vae_decode_u8", latent.shape, latent.dtype.name)
+        # "u8ck" (not the old "u8" key): the program's output arity changed
+        # when the NaN-check scalars were fused in — a stale AOT artifact
+        # under the old key would return one value where three are unpacked
+        key = ("vae_decode_u8ck", latent.shape, latent.dtype.name)
         if key not in self._jit_cache:
             def fn(vp, z):
                 lat_ok = jnp.isfinite(z.astype(jnp.float32)).all()

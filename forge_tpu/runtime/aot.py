@@ -32,6 +32,7 @@ import jax
 AOT_DIR = os.environ.get(
     "FORGE_TPU_AOT_CACHE", os.path.expanduser("~/.cache/forge_tpu_aot"))
 _DISABLED = os.environ.get("FORGE_TPU_AOT_CACHE") == "0"
+_SCHEMA = "1"
 _LOCK = threading.Lock()
 _WARNED = {"once": False}
 
@@ -55,8 +56,10 @@ def _artifact_path(key: str, sig: str) -> str:
         dev = jax.devices()[0].device_kind.replace(" ", "_")
     except Exception:  # noqa: BLE001 — device kind is a cache-key nicety
         pass
+    # _SCHEMA guards callers against stale artifacts when a program's
+    # semantics change under an unchanged key (bump on any such change)
     stem = hashlib.sha256(
-        f"{key}|{sig}|{backend}|{dev}|{jax.__version__}".encode()
+        f"{key}|{sig}|{backend}|{dev}|{jax.__version__}|{_SCHEMA}".encode()
     ).hexdigest()[:32]
     return os.path.join(AOT_DIR, f"{stem}.jaxexp")
 
