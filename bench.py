@@ -312,8 +312,10 @@ CONFIGS = {"1": config1, "2": config2, "2b": config2b, "3": config3,
 
 _ACTIVE = {"proc": None}
 
-# per-config wall caps (compile + runs, measured r3 magnitudes + headroom)
-_CAPS = {"1": 900, "2": 900, "2b": 700, "3": 1200, "4a": 1500, "4b": 1500,
+# per-config wall caps (compile + runs, measured r4 magnitudes + headroom:
+# SDXL batch-1 compile alone is ~350 s cold over the remote-compile tunnel,
+# batch-2 larger — 2b timed out at 700 in the r4 dev run)
+_CAPS = {"1": 900, "2": 1100, "2b": 1100, "3": 1200, "4a": 1500, "4b": 1500,
          "5": 1200, "serve": 900}
 
 
@@ -381,7 +383,9 @@ def main():
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
 
-    for name in ("1", "2", "2b", "3", "4a", "4b", "5", "serve"):
+    # value order: headline configs first, serving before the quant tail
+    # (VERDICT r3 #10 — serve numbers have never reached a driver artifact)
+    for name in ("1", "2", "serve", "2b", "3", "4a", "4b", "5"):
         remaining = budget - (time.time() - t_start)
         if remaining < 120:  # not enough left to learn anything
             detail["configs_skipped"].append(name)

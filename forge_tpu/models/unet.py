@@ -61,12 +61,12 @@ class UNetConfig:
 
 
 def resblock(p: Mapping[str, Any], x: jax.Array, emb: jax.Array) -> jax.Array:
-    h = nn.group_norm(x, p["in_layers"]["0"], act="silu")
-    h = nn.conv2d(h, p["in_layers"]["2"], padding=1)
+    from ..ops.fused_gn_conv import gn_silu_conv3x3
+
+    h = gn_silu_conv3x3(x, p["in_layers"]["0"], p["in_layers"]["2"])
     emb_out = nn.linear(nn.silu(emb), p["emb_layers"]["1"])
     h = h + emb_out[:, None, None, :].astype(h.dtype)
-    h = nn.group_norm(h, p["out_layers"]["0"], act="silu")
-    h = nn.conv2d(h, p["out_layers"]["3"], padding=1)
+    h = gn_silu_conv3x3(h, p["out_layers"]["0"], p["out_layers"]["3"])
     if "skip_connection" in p:
         w = p["skip_connection"]["weight"]
         if w.ndim == 4:

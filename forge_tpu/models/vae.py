@@ -19,10 +19,10 @@ from ..ops.attention import attention_single_head_spatial
 
 
 def _resnet(p: Mapping[str, Any], x: jax.Array) -> jax.Array:
-    h = nn.group_norm(x, p["norm1"], eps=1e-6, act="silu")
-    h = nn.conv2d(h, p["conv1"], padding=1)
-    h = nn.group_norm(h, p["norm2"], eps=1e-6, act="silu")
-    h = nn.conv2d(h, p["conv2"], padding=1)
+    from ..ops.fused_gn_conv import gn_silu_conv3x3
+
+    h = gn_silu_conv3x3(x, p["norm1"], p["conv1"], eps=1e-6)
+    h = gn_silu_conv3x3(h, p["norm2"], p["conv2"], eps=1e-6)
     if "nin_shortcut" in p:
         x = nn.conv2d(x, p["nin_shortcut"])
     return x + h

@@ -208,6 +208,51 @@ def _build_scheduled_cond(engine, p, prompts, max_chunks=None, is_negative=False
     return conds[0], conds[1:], weights
 
 
+def _cond_cache_key(engine, p, prompts, negs, max_chunks):
+    """Key for the prompt-cond cache (reference get_conds_with_caching,
+    processing.py:442-488: identical params across requests must not pay the
+    text encoders again). The raw p.prompt carries the <lora:...> tags, so
+    the TE patch set is part of the key; id(engine.loaded) invalidates on
+    checkpoint reload; the embedding-db version on new textual inversions.
+    Regional prompts carry numpy masks — rare path, not cached."""
+    if p.regional_prompts or p.cond_transform is not None:
+        return None
+    from ..runtime.options import opts as _o
+
+    db = None
+    for te in engine.text_engines.values():
+        db = getattr(te, "embedding_db", None) or db
+    return (id(engine.loaded), p.prompt, p.negative_prompt,
+            tuple(prompts), tuple(negs), p.steps, p.width, p.height,
+            p.clip_skip, max_chunks, _o.get("emphasis"),
+            getattr(db, "version", None))
+
+
+_COND_CACHE_SIZE = 4
+
+
+def _cond_cache_get(engine, key):
+    cache = getattr(engine, "_cond_cache", None)
+    if key is None or cache is None or key not in cache:
+        return None
+    cache.move_to_end(key)
+    cond, uncond, branches, weights = cache[key]
+    return dict(cond), dict(uncond), branches, weights
+
+
+def _cond_cache_put(engine, key, cond, uncond, branches, weights):
+    if key is None:
+        return
+    import collections
+
+    cache = getattr(engine, "_cond_cache", None)
+    if cache is None:
+        cache = engine._cond_cache = collections.OrderedDict()
+    cache[key] = (dict(cond), dict(uncond), branches, weights)
+    while len(cache) > _COND_CACHE_SIZE:
+        cache.popitem(last=False)
+
+
 def _region_mult_map(spec: Dict[str, Any], lh: int, lw: int) -> np.ndarray:
     """Latent-resolution multiplier map for one regional prompt.
 
@@ -673,12 +718,19 @@ def process_images(engine: DiffusionEngine, p: Processing) -> Processed:
             max_chunks = max(mc_pos, mc_neg)
         else:
             max_chunks = 1
-        cond, branches, weights = _build_scheduled_cond(
-            engine, p, prompts, max_chunks=max_chunks
-        )
-        uncond, _, _ = _build_scheduled_cond(
-            engine, p, negs, max_chunks=max_chunks, is_negative=True, allow_and=False
-        )
+        cache_key = _cond_cache_key(engine, p, prompts, negs, max_chunks)
+        cached = _cond_cache_get(engine, cache_key)
+        if cached is not None:
+            cond, uncond, branches, weights = cached
+        else:
+            cond, branches, weights = _build_scheduled_cond(
+                engine, p, prompts, max_chunks=max_chunks
+            )
+            uncond, _, _ = _build_scheduled_cond(
+                engine, p, negs, max_chunks=max_chunks, is_negative=True,
+                allow_and=False
+            )
+            _cond_cache_put(engine, cache_key, cond, uncond, branches, weights)
         masks = None
         if p.regional_prompts:
             branches, weights, masks = _attach_regional_conds(

@@ -294,3 +294,11 @@ try:
     from . import uniformer  # noqa: F401
 except Exception:  # pragma: no cover
     pass
+try:
+    from . import zoe  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:
+    from . import marigold  # noqa: F401
+except Exception:  # pragma: no cover
+    pass

@@ -46,8 +46,10 @@ class EmbeddingDatabase:
         self.tokenizer = tokenizer
         self.embeddings: Dict[str, Embedding] = {}
         self.by_first_id: Dict[int, List[Tuple[List[int], Embedding]]] = {}
+        self.version = 0  # bumped per mutation; cond-cache invalidation key
 
     def register(self, name: str, vectors: np.ndarray, vectors_g=None):
+        self.version += 1
         emb = Embedding(name, np.atleast_2d(vectors), vectors_g)
         self.embeddings[name] = emb
         ids = list(self.tokenizer.ids(name))
