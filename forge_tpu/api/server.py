@@ -230,6 +230,8 @@ class Api:
             ("GET", "/sdapi/v1/embeddings"): self.get_embeddings,
             ("GET", "/sdapi/v1/loras"): self.get_loras,
             ("POST", "/sdapi/v1/png-info"): self.png_info,
+            ("POST", "/sdapi/v1/token-count"): self.token_count,
+            ("POST", "/sdapi/v1/parse-infotext"): self.parse_infotext,
             ("GET", "/sdapi/v1/memory"): self.memory,
             ("POST", "/sdapi/v1/refresh-checkpoints"): self.refresh_checkpoints,
             ("POST", "/sdapi/v1/refresh-loras"): self.refresh_loras,
@@ -639,6 +641,74 @@ class Api:
                     "parameters": images_mod.parse_generation_parameters(info)}
         except Exception:
             return {"info": "", "items": {}}
+
+    def parse_infotext(self, query, body):
+        """Parse a raw infotext blob into Title-case parameter fields —
+        the server half of the SPA toprow paste button (reference
+        modules/infotext_utils.py parse_generation_parameters +
+        connect_paste per-field bindings)."""
+        text = str((body or {}).get("text", ""))
+        return {"parameters": images_mod.parse_generation_parameters(text)}
+
+    def token_count(self, query, body):
+        """Prompt token counter (reference modules/ui.py update_token_counter
+        + diffusion_engine get_prompt_lengths_on_ui): strip <lora:...> tags,
+        apply enabled styles, expand [a:b:N] editing schedules at `steps`,
+        split AND branches, and count CLIP tokens of the worst variant.
+        `max` is the 75-token chunk ceiling the encoder will pad to."""
+        import math
+
+        from ..pipeline.extra_networks import parse_prompt as _strip_nets
+        from ..text.chunking import CHUNK_LEN, tokenize_line
+        from ..text.schedule import get_schedule, split_composable
+
+        body = body or {}
+        text = str(body.get("text", ""))
+        steps = max(1, int(body.get("steps", 20) or 20))
+        styles = body.get("styles") or []
+        is_positive = bool(body.get("is_positive", True))
+        if styles:
+            from ..runtime.styles import prompt_styles
+
+            apply = (prompt_styles.apply_styles_to_prompt if is_positive
+                     else prompt_styles.apply_negative_styles_to_prompt)
+            text = apply(text, list(styles))
+
+        eng = self.models.engine
+        tok = None
+        db = None
+        if eng is not None:
+            for name in ("clip_l", "clip_g"):
+                te = eng.text_engines.get(name)
+                if te is not None:
+                    tok, db = te.tokenizer, getattr(te, "embedding_db", None)
+                    break
+        if tok is None:
+            from ..text.tokenizer import default_tokenizer
+
+            tok = default_tokenizer()
+
+        try:
+            text, _ = _strip_nets(text)
+            branches = (split_composable(text) if is_positive
+                        else [(text, 1.0)])
+            variants = [s for t, _w in branches
+                        for _end, s in get_schedule(t, steps)]
+        except Exception:  # mid-typing parse errors must not 500
+            variants = [text]
+
+        lookup = None
+        if db is not None:
+            lookup = lambda toks, off: db.find(toks, off, "l")
+        count = 0
+        for v in variants or [""]:
+            try:
+                _chunks, n = tokenize_line(v, tok, embedding_lookup=lookup)
+            except Exception:
+                continue
+            count = max(count, n)
+        return {"count": count,
+                "max": max(CHUNK_LEN, math.ceil(count / CHUNK_LEN) * CHUNK_LEN)}
 
     def memory(self, query, body):
         import psutil

@@ -85,6 +85,11 @@ legend{color:var(--dim);padding:0 6px;font-size:12px;text-transform:uppercase;
 .toast{position:fixed;bottom:18px;right:18px;background:var(--panel2);
   border:1px solid var(--accent);border-radius:6px;padding:10px 16px;display:none}
 .small{font-size:12px;color:var(--dim)}
+.ta-wrap{position:relative}
+.tokcount{position:absolute;right:6px;bottom:6px;font-size:11px;color:var(--dim);
+  background:var(--panel2);border:1px solid var(--border);border-radius:4px;
+  padding:1px 5px;pointer-events:auto}
+.tokcount.error{color:var(--err);border-color:var(--err)}
 details{margin:4px 0}
 details>summary{cursor:pointer;color:var(--dim)}
 .cards{display:grid;grid-template-columns:repeat(auto-fill,minmax(150px,1fr));
@@ -368,11 +373,18 @@ function genPanel(mode){
   </fieldset>`:"";
   return `<div class="cols"><div class="col-l">
   <fieldset><legend>Prompt</legend>
-    <textarea id="${m}-prompt" placeholder="prompt — supports (emphasis:1.2), [a:b:0.5] editing, AND, <lora:name:w>"></textarea>
-    <textarea id="${m}-negative" placeholder="negative prompt" style="min-height:40px"></textarea>
+    <div class="ta-wrap">
+      <textarea id="${m}-prompt" placeholder="prompt — supports (emphasis:1.2), [a:b:0.5] editing, AND, <lora:name:w>"></textarea>
+      <span class="tokcount" id="${m}-prompt-count">-/75</span>
+    </div>
+    <div class="ta-wrap">
+      <textarea id="${m}-negative" placeholder="negative prompt" style="min-height:40px"></textarea>
+      <span class="tokcount" id="${m}-negative-count">-/75</span>
+    </div>
     <div class="row"><label>Styles</label>
       <select id="${m}-styles" multiple size="1" class="grow" title="ctrl-click to select multiple styles"></select>
       <button id="${m}-style-save" title="Save current prompts as a style">&#128190;</button>
+      <button id="${m}-paste" title="Read generation parameters from the prompt box into the form">&#8601;</button>
     </div>
     <details><summary>Extra networks</summary>
       <div class="row small" id="${m}-networks">no LoRAs / embeddings found</div>
@@ -844,18 +856,90 @@ wireDrop($("#pnginfo-drop"),async d=>{
     window._pngparams=res.parameters||null;
   }catch(e){toast(e.message,false);}
 });
-$("#pnginfo-send").onclick=()=>{
-  const p=window._pngparams;if(!p)return;
-  const set=(id,v)=>{if(v===undefined||v===null)return;const el=$("#txt2img-"+id);
-    if(!el)return;el.value=v;const vv=$(`#txt2img-${id}-v`);if(vv)vv.textContent=v;};
-  // infotext parser returns Title-case keys (reference parse_generation_parameters)
+/* per-field infotext paste bindings (reference infotext_utils.connect_paste:
+   every Title-case key the parser emits maps onto its form field) */
+function applyInfotext(p,m){
+  if(!p)return;
+  const set=(id,v)=>{if(v===undefined||v===null)return;const el=$(`#${m}-`+id);
+    if(!el)return;
+    if(el.type==="checkbox")el.checked=(v===true||v==="True"||v==="true");
+    else el.value=v;
+    const vv=$(`#${m}-${id}-v`);if(vv)vv.textContent=v;};
   set("prompt",p["Prompt"]);set("negative",p["Negative prompt"]);
   set("steps",p["Steps"]);set("cfg",p["CFG scale"]);set("seed",p["Seed"]);
+  set("clipskip",p["Clip skip"]);
   if(p["Size"]){const wh=String(p["Size"]).split("x");set("width",wh[0]);set("height",wh[1]);}
-  if(p["Sampler"])$("#txt2img-sampler").value=p["Sampler"];
-  if(p["Schedule type"])$("#txt2img-scheduler").value=String(p["Schedule type"]).toLowerCase();
+  if(p["Sampler"])$(`#${m}-sampler`).value=p["Sampler"];
+  if(p["Schedule type"])$(`#${m}-scheduler`).value=String(p["Schedule type"]).toLowerCase();
+  set("subseed",p["Variation seed"]);set("substrength",p["Variation seed strength"]);
+  if(m==="img2img"){set("denoise",p["Denoising strength"]);set("maskblur",p["Mask blur"]);}
+  if(m==="txt2img"){
+    const hr=p["Hires upscale"]||p["Hires upscaler"]||p["Hires steps"];
+    set("hr-enable",!!hr);
+    set("hr-scale",p["Hires upscale"]);set("hr-steps",p["Hires steps"]);
+    if(p["Hires upscaler"])$(`#${m}-hr-upscaler`).value=p["Hires upscaler"];
+    if(hr)set("hr-denoise",p["Denoising strength"]);
+    if(p["Hires checkpoint"])$(`#${m}-hr-model`).value=p["Hires checkpoint"];
+    if(p["Refiner"])$(`#${m}-refiner`).value=p["Refiner"];
+    set("refiner-at",p["Refiner switch at"]);
+  }
+  if(p["Model"]&&confirm("Infotext names checkpoint \""+p["Model"]+"\" — switch to it?"))
+    api("/sdapi/v1/options",{sd_model_checkpoint:p["Model"]}).catch(e=>toast(e.message,false));
+  fireCounters(m);
+}
+$("#pnginfo-send").onclick=()=>{
+  applyInfotext(window._pngparams,"txt2img");
   $$("nav.tabs button")[0].click();
 };
+/* toprow paste button: the prompt box holds a raw infotext blob */
+["txt2img","img2img"].forEach(m=>{
+  $(`#${m}-paste`).onclick=async()=>{
+    const raw=$(`#${m}-prompt`).value;
+    if(!raw.trim())return toast("prompt box is empty",false);
+    try{
+      const r=await api("/sdapi/v1/parse-infotext",{text:raw});
+      applyInfotext(r.parameters,m);
+    }catch(e){toast(e.message,false);}
+  };
+});
+
+/* token counter + bracket lint (reference modules/ui.py update_token_counter
+   + extensions-builtin/prompt-bracket-checker) */
+function bracketErrors(s){
+  const counts={};(s.match(/[(){}\[\]]/g)||[]).forEach(b=>counts[b]=(counts[b]||0)+1);
+  const errs=[];
+  [["(",")","round"],["[","]","square"],["{","}","curly"]].forEach(([o,c,kind])=>{
+    if((counts[o]||0)!==(counts[c]||0))
+      errs.push(`${o}...${c} — ${counts[o]||0} opening vs ${counts[c]||0} closing ${kind} brackets`);
+  });
+  return errs;
+}
+const _tokenUpd={};
+function wireTokenCounter(m,field,isPositive){
+  const ta=$(`#${m}-${field}`),el=$(`#${m}-${field}-count`);
+  let h=null,seq=0;
+  const upd=async()=>{
+    const errs=bracketErrors(ta.value);
+    el.title=errs.join("\n");el.classList.toggle("error",errs.length>0);
+    const my=++seq;
+    try{
+      const styles=[...$(`#${m}-styles`).selectedOptions].map(o=>o.value);
+      const r=await api("/sdapi/v1/token-count",{text:ta.value,
+        steps:+$(`#${m}-steps`).value,styles,is_positive:isPositive});
+      if(my===seq)el.textContent=`${r.count}/${r.max}`;
+    }catch(e){}
+  };
+  _tokenUpd[`${m}-${field}`]=upd;
+  ta.addEventListener("input",()=>{clearTimeout(h);h=setTimeout(upd,400);});
+  upd();
+}
+function fireCounters(m){
+  ["prompt","negative"].forEach(f=>{const u=_tokenUpd[`${m}-${f}`];if(u)u();});
+}
+["txt2img","img2img"].forEach(m=>{
+  wireTokenCounter(m,"prompt",true);
+  wireTokenCounter(m,"negative",false);
+});
 
 /* ------- spaces ------- */
 async function loadSpaces(){

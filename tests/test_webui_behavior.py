@@ -145,6 +145,70 @@ def test_generate_progress_gallery_send_to_img2img(live_server):
     assert not np.array_equal(np.asarray(img), out)
 
 
+def test_token_counter_like_update_token_counter(live_server):
+    """The prompt token counter seam (reference modules/ui.py
+    update_token_counter): schedules/AND variants count the worst case,
+    extra-network tags are stripped, max rounds to the 75-chunk ceiling."""
+    r = _post(live_server, "/sdapi/v1/token-count",
+              {"text": "a photo of a cat", "steps": 20})
+    assert 0 < r["count"] <= 75 and r["max"] == 75
+    # <lora:...> never reaches the text encoder
+    tagged = _post(live_server, "/sdapi/v1/token-count",
+                   {"text": "a photo of a cat <lora:foo:0.8>", "steps": 20})
+    assert tagged["count"] == r["count"]
+    # editing schedule counts the longer variant
+    sched = _post(live_server, "/sdapi/v1/token-count",
+                  {"text": "[a cat:a very fluffy maine coon cat:0.5]",
+                   "steps": 20})
+    plain = _post(live_server, "/sdapi/v1/token-count",
+                  {"text": "a very fluffy maine coon cat", "steps": 20})
+    assert sched["count"] == plain["count"]
+    # long prompts raise the chunk ceiling
+    long = _post(live_server, "/sdapi/v1/token-count",
+                 {"text": ", ".join(["masterpiece"] * 90), "steps": 20})
+    assert long["count"] > 75 and long["max"] % 75 == 0 \
+        and long["max"] >= long["count"]
+    # mid-typing garbage must not 500
+    bad = _post(live_server, "/sdapi/v1/token-count",
+                {"text": "[broken:sched", "steps": 20})
+    assert "count" in bad
+
+
+def test_paste_bindings_parse_and_field_coverage(live_server):
+    """Toprow paste seam: parse-infotext returns Title-case params, and every
+    form id the SPA's applyInfotext writes exists in the served page."""
+    blob = ("an astronaut riding a horse\n"
+            "Negative prompt: blurry, low quality\n"
+            "Steps: 28, Sampler: DPM++ 2M, Schedule type: Karras, "
+            "CFG scale: 6.5, Seed: 1234, Size: 832x1216, Clip skip: 2, "
+            "Denoising strength: 0.45, Hires upscale: 2.0, "
+            "Hires steps: 12, Hires upscaler: Latent, "
+            "Variation seed: 99, Variation seed strength: 0.3")
+    p = _post(live_server, "/sdapi/v1/parse-infotext", {"text": blob})["parameters"]
+    assert p["Prompt"] == "an astronaut riding a horse"
+    assert p["Negative prompt"] == "blurry, low quality"
+    assert p["Steps"] == "28" and p["CFG scale"] == "6.5"
+    assert p["Size-1"] == "832" or p.get("Size") == "832x1216"
+    assert p["Clip skip"] == "2" and p["Hires upscale"] == "2.0"
+    # field-id drift check: the ids applyInfotext writes are built by the
+    # genPanel template literal, so the served page carries the ${m}-form
+    _status, html = _get(live_server, "/")
+    page = html.decode()
+    for fid in ["prompt", "negative", "steps", "cfg", "seed", "clipskip",
+                "width", "height", "sampler", "scheduler", "subseed",
+                "substrength", "hr-enable", "hr-scale", "hr-steps",
+                "hr-upscaler", "hr-denoise", "hr-model", "refiner",
+                "refiner-at", "denoise", "maskblur", "prompt-count",
+                "negative-count", "paste"]:
+        # direct ids render as id="${m}-steps"; sliders as sliderRow(m+"-cfg"
+        assert (f'id="${{m}}-{fid}"' in page
+                or f'"-{fid}"' in page), f"form lost field ${{m}}-{fid}"
+    # every id applyInfotext targets is also referenced by the JS set() calls
+    for key in ["Clip skip", "Variation seed", "Hires upscale",
+                "Refiner switch at", "Denoising strength", "Mask blur"]:
+        assert key in page, f"applyInfotext lost binding for {key!r}"
+
+
 def test_png_info_round_trip_like_pnginfo_tab(live_server):
     """The PNG-info tab flow: generated image → /sdapi/v1/png-info →
     parameters string the paste bindings consume."""
