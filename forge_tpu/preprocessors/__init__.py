@@ -230,7 +230,19 @@ register(Preprocessor("CLIP-G (Revision ignore prompt)", _none, tags=("Revision"
 register(Preprocessor("inpaint_global_harmonious", _none, tags=("Inpaint",)),
          aliases=("inpaint",))
 register(Preprocessor("inpaint_only", _none, tags=("Inpaint",)))
-register(Preprocessor("inpaint_only+lama", _none, tags=("Inpaint",),
+def _inpaint_lama(img, res, a=0.0, b=0.0):
+    # the LaMa prefill itself runs in the pipeline latent composite; the
+    # preprocessor entry validates the checkpoint is present so a missing
+    # weights dir fails here, like every other model-based annotator
+    from .lama import get_lama
+    if not get_lama().available:
+        raise RuntimeError(
+            "inpaint_only+lama needs the LaMa generator checkpoint "
+            "(ControlNetLama.pth) under models/lama")
+    return _none(img, res, a, b)
+
+
+register(Preprocessor("inpaint_only+lama", _inpaint_lama, tags=("Inpaint",),
                       needs_weights=True))
 
 # model-based annotators self-register on import (kept lazy: weights optional)

@@ -346,10 +346,8 @@ class DensePoseDetector:
     checkpoint (model.safetensors / .pt with `roi_heads.densepose_*` keys)
     under models/densepose/."""
 
-    def __init__(self, model_dir: Optional[str] = None):
-        from ..runtime.paths import models_path
-
-        self.model_dir = model_dir or os.path.join(models_path(), "densepose")
+    def __init__(self, model_dir: str = "models/densepose"):
+        self.model_dir = model_dir
         self.params = None
         self._fwd = None
 
@@ -455,9 +453,16 @@ class DensePoseDetector:
             bx = _decode(anchors[top], dl_f[top])
             bx[:, 0::2] = bx[:, 0::2].clip(0, nw)
             bx[:, 1::2] = bx[:, 1::2].clip(0, nh)
-            keep = _nms(bx, lg_f[top], _RPN_NMS_T)
+            sc = lg_f[top]
+            # detectron2 find_top_rpn_proposals drops empty boxes (boxes
+            # fully outside the image clip to zero-area corner points)
+            nonempty = (bx[:, 2] > bx[:, 0]) & (bx[:, 3] > bx[:, 1])
+            bx, sc = bx[nonempty], sc[nonempty]
+            if not bx.shape[0]:
+                continue
+            keep = _nms(bx, sc, _RPN_NMS_T)
             all_boxes.append(bx[keep])
-            all_scores.append(lg_f[top][keep])
+            all_scores.append(sc[keep])
         if not all_boxes:
             return np.zeros((0, 4), np.float32)
         boxes = np.concatenate(all_boxes)
@@ -479,7 +484,12 @@ class DensePoseDetector:
             return np.zeros((0, 4), np.float32)
         final[:, 0::2] = final[:, 0::2].clip(0, nw)
         final[:, 1::2] = final[:, 1::2].clip(0, nh)
-        keep = _nms(final, person[sel], _BOX_NMS_T)
+        fsc = person[sel]
+        nonempty = (final[:, 2] > final[:, 0]) & (final[:, 3] > final[:, 1])
+        final, fsc = final[nonempty], fsc[nonempty]
+        if final.shape[0] == 0:
+            return np.zeros((0, 4), np.float32)
+        keep = _nms(final, fsc, _BOX_NMS_T)
         return final[keep].astype(np.float32)
 
 

