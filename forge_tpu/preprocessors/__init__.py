@@ -314,3 +314,11 @@ try:
     from . import marigold  # noqa: F401
 except Exception:  # pragma: no cover
     pass
+try:
+    from . import densepose  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+try:
+    from . import oneformer  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
