@@ -9,6 +9,7 @@ only tensor reconstruction (the reference guards the same way, modules/safe.py).
 
 from __future__ import annotations
 
+import functools
 import io
 import pickle
 import re
@@ -298,16 +299,131 @@ def as_device_tree(tree, dtype=None):
     bf16 UNet it rides on is half that, and mixed-dtype matmuls defeat the
     MXU's bf16 path)."""
     import jax
+
+    np_dtype = np.dtype(dtype) if dtype is not None else None
+    leaves, treedef = jax.tree.flatten(tree)
+    is_np = [isinstance(l, np.ndarray) for l in leaves]
+
+    def tgt(v):
+        if np_dtype is not None and np.issubdtype(v.dtype, np.floating):
+            return np_dtype
+        return _device_safe_dtype(v.dtype)
+
+    put = packed_device_put([l for l, f in zip(leaves, is_np) if f],
+                            [tgt(l) for l, f in zip(leaves, is_np) if f])
+    it = iter(put)
+    return jax.tree.unflatten(
+        treedef, [next(it) if f else l for l, f in zip(leaves, is_np)])
+
+
+def _device_safe_dtype(dt: np.dtype) -> np.dtype:
+    """The dtype jnp.asarray would have produced with x64 disabled."""
+    return {np.dtype(np.int64): np.dtype(np.int32),
+            np.dtype(np.uint64): np.dtype(np.uint32),
+            np.dtype(np.float64): np.dtype(np.float32)}.get(dt, dt)
+
+
+# below this, per-leaf puts beat the packed path's one-off unpack compile
+_PACK_MIN_LEAVES = 48
+
+
+def packed_device_put(arrays, tgt_dtypes=None):
+    """Upload a list of host arrays in FEW large transfers + one program.
+
+    Per-leaf `jax.device_put`/`jnp.asarray` over the axon tunnel costs
+    ~45 ms of RPC latency per tensor regardless of size — 51 s for a
+    1,130-leaf SD1.5 checkpoint — and per-leaf host casts to bf16 run the
+    slow strided ml_dtypes loop when the leaf is a transposed view
+    (transform_for_jax conv kernels). This path instead:
+
+      1. folds any axis permutation out of each leaf (so the host only ever
+         reads C-contiguous memory) and groups leaves by
+         (folded shape, target dtype, inverse permutation);
+      2. stacks each group into one buffer with the float cast fused into
+         the stack write (a single vectorized host pass);
+      3. device_puts one array per group (~45 groups for SD1.5);
+      4. runs ONE jitted unpack program that slices every leaf back out and
+         re-applies its permutation on device (layout changes are
+         HBM-bandwidth, not host, work).
+
+    Measured on the v5e tunnel (SD1.5, 2 GB bf16): 18.5 s host pass + 5.8 s
+    upload + 6.0 s unpack(first compile; cached after) ≈ 30 s, vs ~75 s for
+    per-leaf puts. Peak HBM is 2× the tree (stacks + leaves) until the
+    stacks are dropped at return. Small lists fall back to per-leaf puts —
+    tiny test checkpoints and LoRA trees don't amortize the unpack compile."""
+    import jax
     import jax.numpy as jnp
 
-    def put(v):
-        if not isinstance(v, np.ndarray):
-            return v
-        if dtype is not None and np.issubdtype(v.dtype, np.floating):
-            return jnp.asarray(v, dtype)
-        return jnp.asarray(v)
+    if tgt_dtypes is None:
+        tgt_dtypes = [_device_safe_dtype(a.dtype) for a in arrays]
+    if len(arrays) < _PACK_MIN_LEAVES:
+        return [jax.device_put(np.ascontiguousarray(a).astype(t, copy=False))
+                for a, t in zip(arrays, tgt_dtypes)]
 
-    return jax.tree.map(put, tree)
+    from collections import defaultdict
+
+    # fold the leaf's axis permutation out so host reads are contiguous
+    folded = []  # (view, inv_perm or None)
+    for v in arrays:
+        if v.ndim < 2 or v.flags.c_contiguous:
+            folded.append((v, None))
+            continue
+        perm = tuple(int(i) for i in np.argsort(
+            [-s for s in v.strides], kind="stable"))
+        vt = v.transpose(perm)
+        if vt.flags.c_contiguous:
+            inv = tuple(int(i) for i in np.argsort(perm))
+            folded.append((vt, None if inv == tuple(range(v.ndim)) else inv))
+        else:  # non-permutation stride pattern (sliced view): copy once
+            folded.append((np.ascontiguousarray(v), None))
+
+    groups = defaultdict(list)  # (shape, tgt, inv) -> [leaf index]
+    for i, ((vt, inv), t) in enumerate(zip(folded, tgt_dtypes)):
+        groups[(vt.shape, np.dtype(t), inv)].append(i)
+
+    out: list = [None] * len(arrays)
+    gkeys, stacks = [], []
+    for (shape, t, inv), idxs in groups.items():
+        if len(idxs) == 1:  # singleton: put the original layout directly
+            i = idxs[0]
+            out[i] = jax.device_put(
+                np.ascontiguousarray(arrays[i]).astype(t, copy=False))
+            continue
+        buf = np.empty((len(idxs),) + shape, t)
+        for j, i in enumerate(idxs):
+            buf[j] = folded[i][0]  # cast fused into the stack write
+        gkeys.append(((len(idxs),) + shape, str(np.dtype(t)), inv, tuple(idxs)))
+        stacks.append(buf)
+
+    if stacks:
+        dev = [jax.device_put(b) for b in stacks]
+        del stacks
+        structure = tuple((k[0], k[1], k[2]) for k in gkeys)
+        parts = _packed_unpack(structure)(dev)
+        for (_, _, _, idxs), ps in zip(gkeys, parts):
+            for i, p in zip(idxs, ps):
+                out[i] = p
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _packed_unpack(structure):
+    """One compiled program slicing every leaf out of its group stack and
+    re-applying the folded-out axis permutation. Keyed on the full group
+    structure so repeated loads of the same architecture reuse the jit (and
+    the XLA persistent-cache entry across processes)."""
+    import jax
+
+    def unpack(stacks):
+        outs = []
+        for (shape, _, inv), s in zip(structure, stacks):
+            parts = [s[i] for i in range(shape[0])]
+            if inv is not None:
+                parts = [p.transpose(inv) for p in parts]
+            outs.append(tuple(parts))
+        return outs
+
+    return jax.jit(unpack)
 
 
 def transform_for_jax(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
