@@ -36,11 +36,13 @@ _SCHEMA = "1"
 _LOCK = threading.Lock()
 _WARNED = {"once": False}
 
-# process-wide resolution counters: "hit" = stored artifact deserialized (no
-# model tracing), "miss" = traced+exported fresh, "fallback" = export failed,
-# plain jit. Benchmarks emit these so a driver artifact can distinguish a
-# warm restart from a cold one (VERDICT r4 weak #6).
-STATS = {"hit": 0, "miss": 0, "fallback": 0, "disabled": 0}
+# process-wide resolution counters: "exec_hit" = pickled compiled EXECUTABLE
+# loaded (no tracing, no lowering, no XLA compile — the fastest restart),
+# "hit" = stored exported artifact deserialized (no model tracing; XLA
+# persistent cache supplies the executable), "miss" = traced+exported fresh,
+# "fallback" = export failed, plain jit. Benchmarks emit these so a driver
+# artifact can distinguish a warm restart from a cold one (VERDICT r4 weak #6).
+STATS = {"exec_hit": 0, "hit": 0, "miss": 0, "fallback": 0, "disabled": 0}
 
 
 def stats() -> dict:
@@ -100,6 +102,32 @@ class AotFunction:
                             "__gpu$xla.gpu.triton")]
         return {"disabled_checks": checks}
 
+    def _load_exec(self, path: str):
+        """Fastest restart: unpickle the COMPILED executable — zero tracing,
+        zero lowering, zero XLA compile; only the backend's executable-load.
+        (The exported-artifact path below still re-lowers exp.call and hashes
+        the full module for the XLA persistent-cache key — tens of seconds of
+        single-core host work for an SDXL-scale scan program.)"""
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            blob, in_tree, out_tree = pickle.load(f)
+        return se.deserialize_and_load(blob, in_tree, out_tree)
+
+    def _save_exec(self, path: str, compiled) -> None:
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        blob, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(AOT_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((blob, in_tree, out_tree), f)
+        os.replace(tmp, path)
+
     def _resolve(self, args):
         from jax import export as jexport
 
@@ -108,12 +136,26 @@ class AotFunction:
             STATS["disabled"] += 1
             return jitted
         path = _artifact_path(self._key, _args_signature(args))
+        exec_path = path + ".exec"
+        if os.path.exists(exec_path):
+            try:
+                compiled = self._load_exec(exec_path)
+                STATS["exec_hit"] += 1
+                return compiled
+            except Exception:  # noqa: BLE001 — stale/foreign executable
+                try:
+                    os.unlink(exec_path)
+                except OSError:
+                    pass
+        shapes = jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype)
+            if hasattr(l, "shape") and hasattr(l, "dtype") else l, args)
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
                     exp = jexport.deserialize(bytearray(f.read()))
                 STATS["hit"] += 1
-                return jax.jit(exp.call, donate_argnums=self._donate)
+                return self._compile_and_stash(exp, shapes, exec_path)
             except Exception as e:  # noqa: BLE001 — stale artifact → retrace
                 if not _WARNED["once"]:
                     _WARNED["once"] = True
@@ -123,9 +165,6 @@ class AotFunction:
                 except OSError:
                     pass
         try:
-            shapes = jax.tree.map(
-                lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype)
-                if hasattr(l, "shape") and hasattr(l, "dtype") else l, args)
             exp = jexport.export(jitted, **self._export_kwargs())(*shapes)
             blob = exp.serialize()
             os.makedirs(AOT_DIR, exist_ok=True)
@@ -137,7 +176,7 @@ class AotFunction:
             # warm restart then compile the IDENTICAL lowered module → one
             # XLA persistent-cache entry
             STATS["miss"] += 1
-            return jax.jit(exp.call, donate_argnums=self._donate)
+            return self._compile_and_stash(exp, shapes, exec_path)
         except Exception as e:  # noqa: BLE001 — export is an optimization
             STATS["fallback"] += 1
             if not _WARNED["once"]:
@@ -145,6 +184,21 @@ class AotFunction:
                 print(f"aot: export unavailable for {self._key[:60]} ({e}); "
                       f"using plain jit")
             return jitted
+
+    def _compile_and_stash(self, exp, shapes, exec_path: str):
+        """Compile the exported module and persist the executable pickle so
+        the NEXT restart takes the exec_hit path. Serialization failures
+        (backend without executable pickling) keep the plain jit result."""
+        jitted_exp = jax.jit(exp.call, donate_argnums=self._donate)
+        try:
+            compiled = jitted_exp.lower(*shapes).compile()
+        except Exception:  # noqa: BLE001 — odd arg trees: let jit handle it
+            return jitted_exp
+        try:
+            self._save_exec(exec_path, compiled)
+        except Exception:  # noqa: BLE001 — exec pickling is an optimization
+            pass
+        return compiled
 
     def __call__(self, *args):
         if self._callable is None:
