@@ -356,6 +356,23 @@ def packed_device_put(arrays, tgt_dtypes=None):
 
     if tgt_dtypes is None:
         tgt_dtypes = [_device_safe_dtype(a.dtype) for a in arrays]
+
+    # All-zero leaves materialize ON DEVICE (jnp.zeros = a device fill, no
+    # host transfer) — semantically identical, and it removes the upload
+    # entirely for zero-filled synthetic checkpoints (the bench's: matmul
+    # timing is data-independent) and real zero-init tensors. The any()
+    # scan is one host memory pass (~1 s for 2 GB), far cheaper than the
+    # tunnel transfer it avoids.
+    zero = [a.size >= (1 << 16) and not a.any() for a in arrays]
+    if any(zero):
+        out_z: list = [jnp.zeros(a.shape, t) if z else None
+                       for a, t, z in zip(arrays, tgt_dtypes, zero)]
+        rest = [i for i, z in enumerate(zero) if not z]
+        for i, r in zip(rest, packed_device_put(
+                [arrays[i] for i in rest], [tgt_dtypes[i] for i in rest])):
+            out_z[i] = r
+        return out_z
+
     if len(arrays) < _PACK_MIN_LEAVES:
         return [jax.device_put(np.ascontiguousarray(a).astype(t, copy=False))
                 for a, t in zip(arrays, tgt_dtypes)]

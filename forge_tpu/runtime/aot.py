@@ -42,11 +42,14 @@ _WARNED = {"once": False}
 # persistent cache supplies the executable), "miss" = traced+exported fresh,
 # "fallback" = export failed, plain jit. Benchmarks emit these so a driver
 # artifact can distinguish a warm restart from a cold one (VERDICT r4 weak #6).
-STATS = {"exec_hit": 0, "hit": 0, "miss": 0, "fallback": 0, "disabled": 0}
+STATS = {"exec_hit": 0, "hit": 0, "miss": 0, "fallback": 0, "disabled": 0,
+         "resolve_s": 0.0}
 
 
 def stats() -> dict:
-    return dict(STATS)
+    d = dict(STATS)
+    d["resolve_s"] = round(d["resolve_s"], 2)
+    return d
 
 
 def _args_signature(args) -> str:
@@ -186,25 +189,36 @@ class AotFunction:
             return jitted
 
     def _compile_and_stash(self, exp, shapes, exec_path: str):
-        """Compile the exported module and persist the executable pickle so
-        the NEXT restart takes the exec_hit path. Serialization failures
-        (backend without executable pickling) keep the plain jit result."""
+        """Compile the exported module, persist the executable pickle so the
+        NEXT restart takes the exec_hit path, but DISPATCH through jit:
+        calling the in-process `Compiled` directly measured ~0.6 s/call of
+        extra steady-state latency on the axon backend (bench probe
+        2026-08-19: 12.93 s/image vs 0.66 s through jit or through a
+        deserialize_and_load'ed executable of the same program), while jit's
+        C++ fastpath specializes on the actual arg layouts. The explicit
+        compile below shares the XLA persistent-cache entry with jit's own
+        dispatch compile, so the stash costs one cache load, not a compile."""
         jitted_exp = jax.jit(exp.call, donate_argnums=self._donate)
         try:
             compiled = jitted_exp.lower(*shapes).compile()
-        except Exception:  # noqa: BLE001 — odd arg trees: let jit handle it
-            return jitted_exp
-        try:
             self._save_exec(exec_path, compiled)
+            del compiled
         except Exception:  # noqa: BLE001 — exec pickling is an optimization
             pass
-        return compiled
+        return jitted_exp
 
     def __call__(self, *args):
         if self._callable is None:
             with _LOCK:
                 if self._callable is None:
+                    import time
+
+                    t0 = time.perf_counter()
                     self._callable = self._resolve(args)
+                    # cumulative program-resolution wall: the honest "warm
+                    # compile" figure — first-image wall minus this is data
+                    # movement (weight upload), which the reference pays too
+                    STATS["resolve_s"] += time.perf_counter() - t0
         return self._callable(*args)
 
     def clear_cache(self):
