@@ -87,12 +87,19 @@ def config1w():
     return config1(suffix="_warm")
 
 
-def config2():
+def _sdxl_engine(eng=None):
+    if eng is not None:
+        return eng
     from forge_tpu.core.synth import synth_sdxl_checkpoint
     from forge_tpu.pipeline.engine import load_engine
+
+    return load_engine(synth_sdxl_checkpoint(fill="zeros"))
+
+
+def config2(eng=None):
     from forge_tpu.pipeline.processing import Processing
 
-    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    eng = _sdxl_engine(eng)
     p = Processing(prompt="a photograph of an astronaut riding a horse",
                    negative_prompt="blurry", seed=1, steps=30,
                    width=1024, height=1024, cfg_scale=7.0,
@@ -106,13 +113,11 @@ def config2():
                              for k, v in _measure.last_timings.items()}}
 
 
-def config2b():
+def config2b(eng=None):
     """SDXL batch-2 serving throughput (single-chip batching reference)."""
-    from forge_tpu.core.synth import synth_sdxl_checkpoint
-    from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.processing import Processing
 
-    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    eng = _sdxl_engine(eng)
     p = Processing(prompt="bench", seed=1, steps=30, width=1024, height=1024,
                    cfg_scale=7.0, sampler_name="DPM++ 2M", scheduler="karras",
                    batch_size=2)
@@ -121,23 +126,22 @@ def config2b():
             "sdxl_batch2_p50_s": round(p50, 4)}
 
 
-def config3():
+def config3(eng=None):
     """SDXL + LoRA + ControlNet-canny img2img with inpaint mask."""
     import os
     import tempfile
 
     from forge_tpu.core.save import save_safetensors
-    from forge_tpu.core.synth import synth_controlnet_sd, synth_sdxl_checkpoint
+    from forge_tpu.core.synth import synth_controlnet_sd
     from forge_tpu.core.state_dict import transform_for_jax
     from forge_tpu.core.tree import nest
     from forge_tpu.models.controlnet import ControlNetState
     from forge_tpu.models.unet import UNetConfig
-    from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.extra_networks import LoraRegistry
     from forge_tpu.pipeline.processing import Processing
     from forge_tpu.preprocessors.cv import canny
 
-    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    eng = _sdxl_engine(eng)
 
     # synthetic rank-16 LoRA over the level-1 attn projections
     rank, rng = 16, np.random.default_rng(0)
@@ -222,18 +226,16 @@ def config4b():
     return _config4_kind("q4_0")
 
 
-def config5():
+def config5(eng=None):
     """Batched multi-prompt serving with IP-Adapter, then MultiDiffusion
     tiled 2× upscale of the first output."""
-    from forge_tpu.core.synth import synth_sdxl_checkpoint
-    from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.ipadapter import IPAdapterState
     from forge_tpu.pipeline.processing import Processing, process_images
     from forge_tpu.runtime.serving import serve_throughput
 
     import jax.numpy as jnp
 
-    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    eng = _sdxl_engine(eng)
     rng = np.random.default_rng(0)
 
     # synthetic IP-Adapter: attn2 K/V injection layers. SDXL attn2 trace
@@ -287,7 +289,7 @@ def config5():
             "multidiffusion_first_s": round(md_first, 2)}
 
 
-def serve_bench():
+def serve_bench(eng=None):
     """`bench.py --serve`: pipelined serving vs sequential on SDXL.
 
     Besides the speedup, emits the numbers that bound it: per-stage host
@@ -296,12 +298,10 @@ def serve_bench():
     because denoise and VAE decode are both device work and one chip is the
     serial resource). serve_saturation = device_floor / pipelined_wall; a
     value near 1.0 means pipelining already hides ~all hideable host time."""
-    from forge_tpu.core.synth import synth_sdxl_checkpoint
-    from forge_tpu.pipeline.engine import load_engine
     from forge_tpu.pipeline.processing import Processing, process_images
     from forge_tpu.runtime.serving import serve_throughput
 
-    eng = load_engine(synth_sdxl_checkpoint(fill="zeros"))
+    eng = _sdxl_engine(eng)
 
     def req(seed):
         return Processing(prompt=f"bench {seed}", seed=seed, steps=30,
@@ -331,9 +331,37 @@ def serve_bench():
             "serve_seq_phase_s": {k: round(v, 3) for k, v in phases.items()}}
 
 
+def sdxl_suite():
+    """Configs 2 + serve + 3 + 5 + 2b in ONE subprocess: they share the
+    SDXL engine, and on the axon tunnel every fresh process pays a
+    first-execution program upload (hundreds of MB per compiled program at
+    single-digit-MB/s in bad windows — measured 88 s..616 s for the same
+    config1 first image across one day). One process = one engine load,
+    and config2's denoise/decode/text programs are reused by serve.
+    A cumulative RESULT line is printed after every part (the parent takes
+    the LAST one), so a timeout or OOM mid-suite keeps everything already
+    measured."""
+    res = {}
+
+    def emit():
+        print("RESULT " + json.dumps(res), flush=True)
+
+    eng = _sdxl_engine()
+    for name, fn in (("2", config2), ("serve", serve_bench), ("3", config3),
+                     ("5", config5), ("2b", config2b)):
+        t0 = time.time()
+        try:
+            res.update(fn(eng))
+        except Exception as e:  # noqa: BLE001 — keep measuring the rest
+            res[f"config{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+        res[f"config{name}_wall_s"] = round(time.time() - t0, 1)
+        emit()
+    return res
+
+
 CONFIGS = {"1": config1, "1w": config1w, "2": config2, "2b": config2b,
            "3": config3, "4a": config4a, "4b": config4b, "5": config5,
-           "serve": serve_bench}
+           "serve": serve_bench, "sdxl": sdxl_suite}
 
 
 # The harness must survive ANY external budget (round 3 shipped zero numbers
@@ -349,8 +377,8 @@ _ACTIVE = {"proc": None}
 # the priority prefix (1, 1w, 2, 3, 4a) always fits a cold 1500 s budget with
 # partial results; per-config wall is emitted so the next round resizes from
 # data (VERDICT r4 weak #7).
-_CAPS = {"1": 700, "1w": 300, "2": 700, "2b": 600, "3": 800, "4a": 800,
-         "4b": 800, "5": 800, "serve": 600}
+_CAPS = {"1": 700, "1w": 300, "2": 700, "2b": 600, "3": 800, "4a": 700,
+         "4b": 500, "5": 800, "serve": 600, "sdxl": 1300}
 
 
 def _run_subprocess(name: str, timeout: float = 3600) -> dict:
@@ -367,9 +395,9 @@ def _run_subprocess(name: str, timeout: float = 3600) -> dict:
             return {f"config{name}_error": f"timeout after {timeout:.0f}s"}
         finally:
             _ACTIVE["proc"] = None
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                return json.loads(line[len("RESULT "):])
+        results = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        if results:
+            return json.loads(results[-1][len("RESULT "):])
         # surface the actual exception, not JAX's traceback-filtering notice
         lines = err.strip().splitlines() or ["no output"]
         errs = [l for l in lines if "Error" in l or "Exception" in l
@@ -425,10 +453,11 @@ def main():
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
 
-    # value order (VERDICT r4 #2): headline + warm-restart evidence first,
-    # then the configs that have NEVER reached a driver artifact (3, 4a, 4b,
-    # 5), then serve; 2b (batch-2, currently a known regression) last
-    for name in ("1", "1w", "2", "3", "4a", "4b", "5", "serve", "2b"):
+    # value order (VERDICT r4 #2): headline first, then the merged SDXL
+    # suite (2+serve+3+5+2b share one engine and one process — see
+    # sdxl_suite), then the Flux quant configs that have never reached a
+    # driver artifact, then the warm-restart re-run of config 1
+    for name in ("1", "sdxl", "4a", "4b", "1w"):
         remaining = budget - (time.time() - t_start)
         if remaining < 120:  # not enough left to learn anything
             detail["configs_skipped"].append(name)

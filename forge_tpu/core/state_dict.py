@@ -327,6 +327,22 @@ def _device_safe_dtype(dt: np.dtype) -> np.dtype:
 _PACK_MIN_LEAVES = 48
 
 
+def constant_value(a) -> "np.generic | None":
+    """The scalar every element of `a` equals, or None. Cheap rejection
+    first (4 Ki contiguous elements), full scan only when that passes; small
+    arrays aren't worth the scan (their upload is latency-, not
+    bandwidth-, bound)."""
+    if a.size < (1 << 16) or a.dtype == object:
+        return None
+    v0 = a.flat[0]
+    if v0 != v0:  # NaN never compares equal — not a foldable constant
+        return None
+    head = np.asarray(a.flat[: 1 << 12])
+    if not (head == v0).all():
+        return None
+    return v0 if bool((a == v0).all()) else None
+
+
 def packed_device_put(arrays, tgt_dtypes=None):
     """Upload a list of host arrays in FEW large transfers + one program.
 
@@ -357,17 +373,18 @@ def packed_device_put(arrays, tgt_dtypes=None):
     if tgt_dtypes is None:
         tgt_dtypes = [_device_safe_dtype(a.dtype) for a in arrays]
 
-    # All-zero leaves materialize ON DEVICE (jnp.zeros = a device fill, no
-    # host transfer) — semantically identical, and it removes the upload
-    # entirely for zero-filled synthetic checkpoints (the bench's: matmul
-    # timing is data-independent) and real zero-init tensors. The any()
-    # scan is one host memory pass (~1 s for 2 GB), far cheaper than the
-    # tunnel transfer it avoids.
-    zero = [a.size >= (1 << 16) and not a.any() for a in arrays]
-    if any(zero):
-        out_z: list = [jnp.zeros(a.shape, t) if z else None
-                       for a, t, z in zip(arrays, tgt_dtypes, zero)]
-        rest = [i for i, z in enumerate(zero) if not z]
+    # Constant-valued leaves materialize ON DEVICE (jnp.full = a device
+    # fill, no host transfer) — semantically identical, and it removes the
+    # upload entirely for zero/constant-filled synthetic checkpoints (the
+    # bench's: matmul timing is data-independent) and real zero-init
+    # tensors. A 4 Ki-element precheck rejects real data before paying the
+    # full scan (one host memory pass, far cheaper than the tunnel upload
+    # it avoids).
+    const = [constant_value(a) for a in arrays]
+    if any(c is not None for c in const):
+        out_z: list = [None if c is None else jnp.full(a.shape, c.item(), t)
+                       for a, t, c in zip(arrays, tgt_dtypes, const)]
+        rest = [i for i, c in enumerate(const) if c is None]
         for i, r in zip(rest, packed_device_put(
                 [arrays[i] for i in rest], [tgt_dtypes[i] for i in rest])):
             out_z[i] = r

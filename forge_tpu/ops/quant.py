@@ -324,6 +324,18 @@ def quantize_tree(params: Dict[str, Any], kind: str, min_size: int = 1 << 16,
     return map_leaves(visit, params)
 
 
+def _put(a, dtype=None):
+    """jnp.asarray with a constant-fill fast path (no host transfer for
+    constant buffers — e.g. quantized zero-filled synthetic weights)."""
+    from ..core.state_dict import constant_value
+
+    a = np.asarray(a, dtype) if dtype is not None else np.asarray(a)
+    c = constant_value(a)
+    if c is not None:
+        return jnp.full(a.shape, c.item(), a.dtype)
+    return jnp.asarray(a)
+
+
 def leaf_to_device(q: Mapping[str, Any]) -> "QuantTensor":
     """Quant leaf dict (optionally kernel-prepared) → device QuantTensor.
     Keeps only the kernel layout when present (no duplicate flat copy)."""
@@ -332,13 +344,13 @@ def leaf_to_device(q: Mapping[str, Any]) -> "QuantTensor":
     mins2d = q.get("mins2d")
     return QuantTensor(
         q["kind"], q["shape"],
-        None if has2d else jnp.asarray(q["codes"]),
-        None if has2d else jnp.asarray(np.asarray(q["scales"], np.float32)),
-        jnp.asarray(q["codes2d"]) if has2d else None,
-        jnp.asarray(np.asarray(q["scales2d"], np.float32)) if has2d else None,
-        mins=(jnp.asarray(np.asarray(mins, np.float32))
+        None if has2d else _put(q["codes"]),
+        None if has2d else _put(q["scales"], np.float32),
+        _put(q["codes2d"]) if has2d else None,
+        _put(q["scales2d"], np.float32) if has2d else None,
+        mins=(_put(mins, np.float32)
               if mins is not None and not has2d else None),
-        mins2d=(jnp.asarray(np.asarray(mins2d, np.float32))
+        mins2d=(_put(mins2d, np.float32)
                 if mins2d is not None and has2d else None),
         block=q.get("block"),
     )

@@ -117,7 +117,12 @@ class AotFunction:
 
         with open(path, "rb") as f:
             blob, in_tree, out_tree = pickle.load(f)
-        return se.deserialize_and_load(blob, in_tree, out_tree)
+        # AotFunction is single-device by contract (the mesh path bypasses
+        # it); without this, deserialize_and_load defaults to ALL backend
+        # devices and a multi-device host (tests' 8 virtual CPUs) would
+        # demand 8 input shards for a 1-device program.
+        return se.deserialize_and_load(blob, in_tree, out_tree,
+                                       execution_devices=jax.devices()[:1])
 
     def _save_exec(self, path: str, compiled) -> None:
         import pickle
@@ -139,8 +144,12 @@ class AotFunction:
             STATS["disabled"] += 1
             return jitted
         path = _artifact_path(self._key, _args_signature(args))
-        exec_path = path + ".exec"
-        if os.path.exists(exec_path):
+        # executable pickling is TPU-only: the CPU backend deserializes
+        # larger programs into executables whose fused helper functions are
+        # missing at dispatch ("Function iota_reduce_fusion not found"),
+        # observed under tests/test_aot.py pipeline-scale programs
+        exec_path = (path + ".exec") if jax.default_backend() == "tpu" else None
+        if exec_path and os.path.exists(exec_path):
             try:
                 compiled = self._load_exec(exec_path)
                 STATS["exec_hit"] += 1
@@ -188,7 +197,7 @@ class AotFunction:
                       f"using plain jit")
             return jitted
 
-    def _compile_and_stash(self, exp, shapes, exec_path: str):
+    def _compile_and_stash(self, exp, shapes, exec_path):
         """Compile the exported module, persist the executable pickle so the
         NEXT restart takes the exec_hit path, but DISPATCH through jit:
         calling the in-process `Compiled` directly measured ~0.6 s/call of
@@ -199,12 +208,13 @@ class AotFunction:
         compile below shares the XLA persistent-cache entry with jit's own
         dispatch compile, so the stash costs one cache load, not a compile."""
         jitted_exp = jax.jit(exp.call, donate_argnums=self._donate)
-        try:
-            compiled = jitted_exp.lower(*shapes).compile()
-            self._save_exec(exec_path, compiled)
-            del compiled
-        except Exception:  # noqa: BLE001 — exec pickling is an optimization
-            pass
+        if exec_path is not None:
+            try:
+                compiled = jitted_exp.lower(*shapes).compile()
+                self._save_exec(exec_path, compiled)
+                del compiled
+            except Exception:  # noqa: BLE001 — exec pickling is optional
+                pass
         return jitted_exp
 
     def __call__(self, *args):
