@@ -316,7 +316,8 @@ def serve_bench(eng=None):
         phases = dict(getattr(r, "timings", {}) or {})
     seq_s = time.time() - t0
     res = serve_throughput(eng, [req(s) for s in (5, 6, 7, 8)])
-    stage = {"prep": 0.0, "dispatch": 0.0, "finish": 0.0}
+    stage = {"prep": 0.0, "dispatch": 0.0, "decode_dispatch": 0.0,
+             "finish": 0.0}
     for o in res["outputs"]:
         for k in stage:
             stage[k] += float(o.get("timings", {}).get(k, 0.0))
@@ -427,6 +428,24 @@ def main():
     # r4's run was SIGTERMed at wall 1797.8 s with the default 2100 s budget
     # never firing — the driver window is ~1800 s, so default under it
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    # fail fast if the TPU tunnel is dead: the axon PJRT HANGS (not errors)
+    # when the relay is unreachable, so every config subprocess would burn
+    # its full cap learning nothing (observed during round 5 when the relay
+    # process died). JAX_PLATFORMS=axon forbids CPU fallback by design.
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        import socket
+
+        try:
+            socket.create_connection(("127.0.0.1", 8082), timeout=5).close()
+        except OSError:
+            print(json.dumps({
+                "metric": "sd15_512_eulera_20step_p50_latency",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "detail": {"error": "tpu relay unreachable (port 8082 "
+                           "refused) — chip cannot be dialed, skipping all "
+                           "configs"}}), flush=True)
+            return 0
     t_start = time.time()
     detail = {"configs_done": [], "configs_skipped": []}
 

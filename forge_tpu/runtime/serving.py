@@ -7,12 +7,14 @@ every generation in one global lock — strictly serial): here the device is
 the serial resource, and the three pipeline stages keep it fed:
 
   prep    (host): seeds → Philox noise → text encode → σ schedule
-  denoise (device): the compiled lax.scan loop (one per request, async)
-  finish  (host): VAE decode fetch → uint8 → infotext
+  denoise (device): the compiled lax.scan loop + the VAE-decode dispatch
+          (both async; decode(i) is device-ordered ahead of denoise(i+1),
+          and the device→host image copy is started here)
+  finish  (host): image fetch (np.asarray on an in-flight copy) → infotext
 
 JAX dispatch is asynchronous, so the denoise stage only *enqueues* device
-work; the decode fetch of request i blocks while request i+1's prep runs on
-the host and its denoise is already queued behind i's. On a dp-sharded mesh
+work; the image fetch of request i proceeds while request i+1's prep runs on
+the host and its denoise computes behind i's decode. On a dp-sharded mesh
 the same pipeline fans each request's batch across chips (engine.attach_mesh).
 
 Single-worker discipline per stage (one thread each) keeps compiled-cache
@@ -108,6 +110,18 @@ class ServingPipeline:
                 t0 = time.time()
                 _resolve_seeds(p)
                 _apply_option_defaults(p)
+                # same HBM plan as process_images: chunking is a batch-shape
+                # decision made up front, and tiled VAE must gate the decode
+                # of large canvases here too (the finish stage honors p._plan)
+                from ..pipeline.processing import _opt_bool, _tree_bytes
+                from ..runtime.memory import plan_generation
+
+                plan = plan_generation(p.batch_size, p.height, p.width,
+                                       weight_bytes=_tree_bytes(
+                                           engine.loaded.unet))
+                if _opt_bool("vae_always_tiled"):
+                    plan.tiled_vae = True
+                p._plan = plan
                 engine.set_clip_skip(p.clip_skip)
                 _record_generation_params(engine, p)
                 info = get_sampler(p.sampler_name)
@@ -145,7 +159,7 @@ class ServingPipeline:
                 fut.set_exception(e)
 
     def _denoise_loop(self):
-        from ..pipeline.processing import _run_sampler
+        from ..pipeline.processing import _decode_dispatch, _run_sampler
 
         while True:
             item = self._denoise_q.get()
@@ -159,23 +173,29 @@ class ServingPipeline:
                                       cond, uncond,
                                       skip_uncond=(p.cfg_scale == 1.0))
                 timings["dispatch"] = time.time() - t0
-                # NOT blocked on: the finish stage's fetch synchronizes, so
-                # the next request's denoise dispatch overlaps this compute
-                self._finish_q.put((p, fut, latent, timings))
+                # Dispatch the decode HERE (not in finish): device-orders
+                # decode(i) ahead of denoise(i+1) and starts the device→host
+                # image copy early, so the tunnel fetch of request i overlaps
+                # request i+1's denoise compute. Nothing here blocks: the
+                # finish stage's np.asarray is the only synchronization.
+                t0 = time.time()
+                handle = _decode_dispatch(self.engine, latent, p)
+                timings["decode_dispatch"] = time.time() - t0
+                self._finish_q.put((p, fut, handle, timings))
             except Exception as e:  # noqa: BLE001
                 fut.set_exception(e)
 
     def _finish_loop(self):
-        from ..pipeline.processing import _decode_to_uint8, create_infotext
+        from ..pipeline.processing import _decode_finish, create_infotext
 
         while True:
             item = self._finish_q.get()
             if item is None:
                 return
-            p, fut, latent, timings = item
+            p, fut, handle, timings = item
             try:
                 t0 = time.time()
-                images = _decode_to_uint8(self.engine, latent, p)
+                images = _decode_finish(self.engine, handle, p)
                 timings["finish"] = time.time() - t0
                 infos = [create_infotext(p, p.all_seeds[b], p.all_subseeds[b])
                          for b in range(images.shape[0])]

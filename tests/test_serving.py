@@ -59,3 +59,34 @@ def test_pipeline_close_joins_and_rejects():
     with pytest.raises(RuntimeError):
         pipe.submit(Processing(prompt="late", seed=4, steps=1, width=32,
                                height=32, sampler_name="Euler"))
+
+
+def test_serving_tiled_vae_handle_path():
+    """The finish stage's sync fallback (tiled-VAE plan) decodes correctly:
+    forcing vae_always_tiled through the pipeline must reproduce the
+    untiled image (tiles are seam-blended exactly — engine tile size covers
+    the tiny canvas) and exercise _decode_dispatch's 'sync' handle."""
+    from forge_tpu.runtime.options import opts
+
+    eng = make_tiny_engine()
+    ref = serve_throughput(eng, [_p(11)])["outputs"][0]["images"][0]
+    opts.set("vae_always_tiled", True)
+    try:
+        out = serve_throughput(eng, [_p(11)])["outputs"][0]["images"][0]
+    finally:
+        opts.set("vae_always_tiled", False)
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out.astype(np.int32) - ref.astype(np.int32))) <= 1
+
+
+def test_serving_plans_memory():
+    """Serving prep attaches the same HBM plan process_images builds, so a
+    large-canvas request through the pipeline gates on tiled VAE instead of
+    dispatching an OOM-sized decode program."""
+    eng = make_tiny_engine()
+    pipe = ServingPipeline(eng, depth=1)
+    p = _p(1)
+    fut = pipe.submit(p)
+    fut.result(timeout=300)
+    pipe.close()
+    assert getattr(p, "_plan", None) is not None
