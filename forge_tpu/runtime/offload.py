@@ -36,12 +36,13 @@ def device_sharding(device=None):
 def fetch_to_device(tree, device=None):
     """In-jit: copy array leaves to device HBM. Used inside the compiled
     denoise step when offload is active. XLA schedules each host→HBM copy
-    (it places copy-start/copy-done pairs around first/last use, which CAN
-    overlap transfer with compute), but the degree of overlap on this
-    backend is NOT independently verified by a trace — treat this as a
-    capacity feature (models beyond HBM run at streaming bandwidth), not a
-    measured latency-hiding claim. Leaves already in HBM are unaffected
-    (same-space copies are elided)."""
+    (copy-start/copy-done pairs around first/last use), overlapping the
+    transfer with compute. MEASURED on the v5e (tools/offload_overlap_probe
+    .py, 2026-08-20): an 8-layer matmul chain streaming 256 MB of bf16
+    weights runs in 45.7 ms vs resident 34.2 ms + fetch-only 41.3 ms
+    (6.5 GB/s host→HBM) — 87 % of the smaller leg hidden, i.e. t_streamed ≈
+    1.11 × max(compute, transfer) instead of their sum. Leaves already in
+    HBM are unaffected (same-space copies are elided)."""
     dsh = device_sharding(device)
     return jax.tree.map(
         lambda l: jax.device_put(l, dsh) if isinstance(l, jax.Array) else l,
